@@ -1,0 +1,66 @@
+"""Convolution backends for the U-Net hot path.
+
+Two implementations behind one interface:
+
+* ``impl="xla"``  — ``lax.conv_general_dilated`` (XLA's native TPU conv,
+  already MXU-tiled and fusion-friendly).
+* ``impl="pallas"`` — hand-written fused Pallas TPU kernels
+  (``roadseg_tpu/kernels/``), the native layer standing in for the
+  reference's cuDNN-backed ``tf.layers.conv2d`` (``src/unet.py:34-44``).
+
+Parameters are created here (not via ``nn.Conv``) so both backends share the
+identical pytree layout: HWIO float32 kernels + float32 bias, compute in
+``dtype`` (bfloat16 by default to keep the MXU at full rate), with
+``preferred_element_type=float32`` accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _conv_params(module: nn.Module, name: str, kh: int, kw: int,
+                 cin: int, cout: int):
+    kernel = module.param(
+        f"{name}_kernel", nn.initializers.xavier_uniform(), (kh, kw, cin, cout),
+        jnp.float32)
+    bias = module.param(f"{name}_bias", nn.initializers.zeros, (cout,),
+                        jnp.float32)
+    return kernel, bias
+
+
+def conv2d_valid(module: nn.Module, x, features: int, *, name: str,
+                 dilation: int = 1, dtype: Any = jnp.bfloat16,
+                 impl: str = "xla"):
+    """3x3 valid-padding conv + bias. x: [B, H, W, Cin] -> [B, H', W', Cout]
+    with H' = H - 2*dilation."""
+    kernel, bias = _conv_params(module, name, 3, 3, x.shape[-1], features)
+    x = x.astype(dtype)
+    k = kernel.astype(dtype)
+    if impl == "pallas" and jax.default_backend() == "tpu":
+        from roadseg_tpu.kernels.conv3x3 import conv3x3_bias
+        return conv3x3_bias(x, k, bias, dilation=dilation)
+    out = lax.conv_general_dilated(
+        x, k,
+        window_strides=(1, 1),
+        padding="VALID",
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + bias).astype(dtype)
+
+
+def conv1x1(module: nn.Module, x, features: int, *, name: str,
+            dtype: Any = jnp.bfloat16):
+    """1x1 conv + bias as a channel matmul (maps straight onto the MXU)."""
+    kernel, bias = _conv_params(module, name, 1, 1, x.shape[-1], features)
+    w = kernel[0, 0].astype(dtype)
+    out = jnp.einsum("bhwc,cf->bhwf", x.astype(dtype), w,
+                     preferred_element_type=jnp.float32)
+    return (out + bias).astype(dtype)

@@ -1,0 +1,3 @@
+from roadseg_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, batch_sharding, param_shardings, shard_params, replicated,
+)
