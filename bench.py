@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 608x608 ensemble inference, images/sec/chip.
+
+Reference baseline: ~6 s per 608x608 test image with the 6-way ensemble on
+an Nvidia Titan X (~0.167 img/s; ``report/report.tex:254``, BASELINE.md).
+
+Config matches the reference's winning submission path (``run.py:121-137``):
+6-layer dilated U-Net (root 64), patch 388 / input 764, stride 110, 6-way
+TTA — 54 patches of 764x764 through the net per image. Weights are random
+(throughput does not depend on their values).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 1.0 / 6.0
+
+
+def main():
+    num_images = int(os.environ.get("BENCH_IMAGES", "10"))
+    pred_chunk = int(os.environ.get("BENCH_PRED_BATCH", "2"))
+
+    from roadseg_tpu.config import Options
+    from roadseg_tpu.engine import Engine
+    from roadseg_tpu.utils import images_io
+
+    opts = Options(
+        num_layers=6, root_size=64, dilated_layers=True,
+        patch_size=388, stride=110, batch_size=9,
+        ensemble_prediction=True, num_epoch=0,
+        logdir="/tmp/roadseg_bench/logs", save_path="/tmp/roadseg_bench",
+    )
+    eng = Engine(opts)
+
+    try:
+        imgs = images_io.load(images_io.resolve_data_dir("test"))
+        imgs = imgs[:num_images]
+    except FileNotFoundError:
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(num_images, 608, 608, 3).astype(np.float32)
+    if imgs.shape[0] < num_images:
+        num_images = imgs.shape[0]
+
+    # Warmup / compile on one chunk shape.
+    _ = np.asarray(eng.predict(imgs[:pred_chunk]))
+
+    start = time.time()
+    masks = eng.predict_batchwise(imgs, pred_chunk)
+    elapsed = time.time() - start
+    assert masks.shape == (num_images, 608, 608, 1)
+
+    import jax
+    n_chips = jax.device_count()
+    imgs_per_sec_per_chip = num_images / elapsed / n_chips
+    print(json.dumps({
+        "metric": "608x608 ensemble inference throughput",
+        "value": round(imgs_per_sec_per_chip, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC,
+                             2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

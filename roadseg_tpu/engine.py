@@ -1,0 +1,429 @@
+"""Training & inference engine — the TPU-native counterpart of the
+reference's ``ConvolutionalModel`` (``src/tf_aerial_images.py:87-379``).
+
+Same capability surface (``train`` / ``predict`` / ``predict_batchwise`` /
+``save`` / ``restore``), redesigned for XLA's compilation model instead of
+TF-1 sessions:
+
+* **No placeholders / feed_dict.** One jitted ``train_step`` fuses the whole
+  hot path — patch gather, stochastic augmentation, U-Net forward, loss,
+  backward, momentum update — into a single XLA program per step.
+* **On-device data pipeline.** The reference keeps NumPy patch tensors on
+  the host and ships one batch through ``feed_dict`` per step
+  (``tf_aerial_images.py:232-244``). Here the rotation-expanded training
+  images live in HBM as uint8 (exact — PNG values are uint8) and each step
+  gathers its patches with ``dynamic_slice`` from an int32 index triple
+  per sample: host->device traffic per step is ~12 bytes/sample instead of
+  ~28 MB.
+* **Sliding-window + TTA inference is one jitted program**
+  (cf. ``predict`` at ``tf_aerial_images.py:271-328``): 6-way ensemble
+  expansion, mirror-extend, patch extraction, a ``lax.map`` scan over patch
+  chunks through the U-Net, overlap-average reassembly and ensemble
+  inversion all fuse on device; the host only sees the final masks.
+  Patch-count padding is done at the *input* size (fixing the reference's
+  latent pad-shape bug at ``tf_aerial_images.py:298-301``).
+* **Mesh parallelism**: params/optimizer state are placed by
+  ``parallel.mesh.param_shardings`` (replicated, or channel-TP with a
+  ``model`` axis); batches shard over the ``data`` axis; XLA inserts the
+  gradient ``psum``. The reference is single-device only
+  (``tf_aerial_images.py:384-393``).
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from roadseg_tpu import constants
+from roadseg_tpu.config import Options
+from roadseg_tpu.models import unet as unet_lib
+from roadseg_tpu.ops import augment as augment_ops
+from roadseg_tpu.ops import geometry, rotate
+from roadseg_tpu.parallel import mesh as mesh_lib
+from roadseg_tpu.train.optim import learning_rate_schedule, make_optimizer
+from roadseg_tpu.utils import images_io
+from roadseg_tpu.utils.checkpoint import Checkpointer
+from roadseg_tpu.utils.summary import Summary
+
+NUM_CHANNELS = constants.NUM_CHANNELS
+
+
+def _experiment_name() -> str:
+    """Timestamped experiment name, same format as the reference
+    (``tf_aerial_images.py:96``)."""
+    return time.strftime("%Y-%m-%dT%Hh%Mm%Ss")
+
+
+class Engine:
+    """Builds the model + optimizer and drives training/inference.
+
+    API mirrors the reference ``ConvolutionalModel`` so a user of the
+    reference finds the same verbs: ``train`` (one epoch), ``predict``,
+    ``predict_batchwise``, ``save``, ``restore``.
+    """
+
+    def __init__(self, options: Options, mesh=None,
+                 experiment_name: Optional[str] = None):
+        self._options = options
+        self.experiment_name = experiment_name or _experiment_name()
+
+        np.random.seed(options.seed)
+        self._rng = jax.random.PRNGKey(options.seed)
+
+        self.input_size = unet_lib.input_size_needed(
+            options.patch_size, options.num_layers)
+        self.offset = (self.input_size - options.patch_size) // 2
+
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            options.mesh)
+        self._data_sharding = NamedSharding(self.mesh, P("data"))
+        self._replicated = mesh_lib.replicated(self.mesh)
+
+        dtype = jnp.bfloat16 if options.dtype == "bfloat16" else jnp.float32
+        self.model = unet_lib.UNet(
+            num_layers=options.num_layers,
+            root_size=options.root_size,
+            dilated_layers=options.dilated_layers,
+            dtype=dtype,
+            conv_impl=options.conv_impl,
+            remat=options.remat,
+        )
+
+        params = unet_lib.init_params(self.model, self.input_size,
+                                      seed=options.seed)
+        self._param_shardings = mesh_lib.param_shardings(params, self.mesh)
+        params = jax.device_put(params, self._param_shardings)
+
+        self._tx = make_optimizer(options.lr, options.momentum)
+        self._schedule = learning_rate_schedule(options.lr)
+        opt_state = self._tx.init(params)
+        # opt_state (momentum trace) mirrors the param tree -> same shardings.
+        opt_state = jax.device_put(opt_state,
+                                   self._opt_state_shardings(opt_state))
+        self.state = {
+            "step": jax.device_put(jnp.zeros((), jnp.int32), self._replicated),
+            "params": params,
+            "opt_state": opt_state,
+        }
+
+        self._summary = Summary(
+            logdir=f"{options.logdir}/{self.experiment_name}",
+            num_eval_images=options.num_eval_images)
+        self._checkpointer = Checkpointer(options.save_path,
+                                          self.experiment_name)
+
+        # Device-resident training set (filled by prepare_training_data).
+        self._ext_imgs = None       # [NA, E, E, 3] uint8
+        self._ext_gt = None         # [NA, G, G] uint8
+        self._index_table = None    # np.int32 [P, 3] (img, y0, x0)
+
+        self._train_step = None     # jitted, built lazily
+        self._global_step = 0       # host mirror of state["step"]
+        self._pending: collections.deque = collections.deque()
+
+    # ------------------------------------------------------------------
+    # sharding helpers
+    # ------------------------------------------------------------------
+    def _opt_state_shardings(self, opt_state):
+        """Momentum-trace leaves shard like their params; the trace tree has
+        the exact param-tree structure inside ``TraceState.trace``, so we
+        substitute the param shardings there and replicate everything else."""
+        if self.mesh.shape.get("model", 1) == 1:
+            return jax.tree.map(lambda _: self._replicated, opt_state)
+        new = []
+        for sub in opt_state:
+            if hasattr(sub, "trace"):
+                new.append(type(sub)(trace=self._param_shardings))
+            else:
+                new.append(jax.tree.map(lambda _: self._replicated, sub))
+        return tuple(new)
+
+    # ------------------------------------------------------------------
+    # training-data pipeline (on device)
+    # ------------------------------------------------------------------
+    def prepare_training_data(self, train_images, train_groundtruth,
+                              rotation_angles=None):
+        """Expand+rotate the training set on device and build the patch index.
+
+        Replaces the host-side ``expand_and_rotate`` + ``extract_patches``
+        prep in the reference ``main()`` (``tf_aerial_images.py:404-419``):
+        instead of materializing every patch, we keep the rotation-expanded
+        images in HBM (uint8, exact) and gather patches per step.
+        """
+        opts = self._options
+        angles = rotation_angles
+        if angles is None:
+            angles = opts.rotation_angles
+        if angles is None:
+            print("No --rotation_angles given; training on unrotated "
+                  "originals (angle 0).")
+            angles = [0]
+
+        imgs8 = np.clip(np.asarray(train_images) * constants.PIXEL_DEPTH,
+                        0, 255).round().astype(np.uint8)
+        gt8 = np.clip(np.asarray(train_groundtruth) * constants.PIXEL_DEPTH,
+                      0, 255).round().astype(np.uint8)
+
+        # images expanded by the conv halo offset; groundtruth by 0
+        # (tf_aerial_images.py:408, :415)
+        ext_imgs = rotate.expand_and_rotate(imgs8, angles, self.offset)
+        ext_gt = rotate.expand_and_rotate(gt8, angles, 0)
+        self._ext_imgs = jax.device_put(ext_imgs, self._replicated)
+        self._ext_gt = jax.device_put(ext_gt, self._replicated)
+
+        h = gt8.shape[1]
+        g = geometry.patches_per_side(h, opts.patch_size, opts.stride)
+        starts = np.arange(g, dtype=np.int32) * opts.stride
+        na = ext_gt.shape[0]
+        img_idx, xi, yi = np.meshgrid(
+            np.arange(na, dtype=np.int32), starts, starts, indexing="ij")
+        self._index_table = np.stack(
+            [img_idx.ravel(), yi.ravel(), xi.ravel()], axis=1)
+        print(f"Train on {len(self._index_table)} patches of size "
+              f"{self.input_size}x{self.input_size} "
+              f"({na} expanded images resident on device)")
+        return len(self._index_table)
+
+    def _build_train_step(self):
+        opts = self._options
+        model = self.model
+        tx = self._tx
+        in_size, ps = self.input_size, opts.patch_size
+        augment = bool(opts.image_augmentation)
+        dropout_keep = float(opts.dropout)
+        data_sharding = self._data_sharding
+
+        def gather(ext_imgs, ext_gt, idx):
+            def one(triple):
+                i, y, x = triple[0], triple[1], triple[2]
+                img = jax.lax.dynamic_slice(
+                    ext_imgs, (i, y, x, 0), (1, in_size, in_size, NUM_CHANNELS)
+                )[0]
+                gt = jax.lax.dynamic_slice(ext_gt, (i, y, x), (1, ps, ps))[0]
+                return img, gt
+            return jax.vmap(one)(idx)
+
+        def step_fn(state, ext_imgs, ext_gt, idx, rng):
+            idx = jax.lax.with_sharding_constraint(idx, data_sharding)
+            patches8, gt8 = gather(ext_imgs, ext_gt, idx)
+            patches = patches8.astype(jnp.float32) / constants.PIXEL_DEPTH
+            # binarize at 0.5 (tf_aerial_images.py:221-222); uint8 128/255>=.5
+            labels = (gt8 >= 128).astype(jnp.int32)
+
+            rng_aug, rng_drop = jax.random.split(rng)
+            if augment:
+                patches, labels = augment_ops.stochastic_augment(
+                    rng_aug, patches, labels)
+
+            def loss_fn(params):
+                logits = model.apply(
+                    params, patches, dropout_keep=dropout_keep,
+                    deterministic=(dropout_keep >= 1.0),
+                    rngs={"dropout": rng_drop})
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels)
+                probs = jax.nn.softmax(logits, axis=-1)[..., 1]
+                return ce.mean(), probs
+
+            (loss, probs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state["params"])
+            updates, opt_state = tx.update(grads, state["opt_state"],
+                                           state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            # running pixel "errors" like tf_aerial_images.py:249-251
+            errors = jnp.sum(jnp.abs(labels.astype(jnp.float32) - probs))
+            new_state = {"step": state["step"] + 1, "params": params,
+                         "opt_state": opt_state}
+            return new_state, {"loss": loss, "errors": errors}
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # training loop (one epoch, reference `train` semantics)
+    # ------------------------------------------------------------------
+    def train(self, imgs=None, labels=None):
+        """Train one epoch over the prepared patch set.
+
+        ``imgs``/``labels`` are the *original* (unexpanded) training images
+        and groundtruth, used only for the periodic in-training evaluation
+        (``tf_aerial_images.py:254-267``). Call ``prepare_training_data``
+        first.
+        """
+        opts = self._options
+        if self._index_table is None:
+            raise RuntimeError("call prepare_training_data() before train()")
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+
+        table = self._index_table
+        indices = np.arange(len(table))
+        np.random.shuffle(indices)
+
+        num_errors, total = 0.0, 0
+        b = opts.batch_size
+        # fixed-size batches, dropping the remainder (tf_aerial_images.py:232)
+        for batch_i, off in enumerate(range(0, len(table) - b, b)):
+            batch_idx = table[indices[off:off + b]]
+            idx_dev = jax.device_put(jnp.asarray(batch_idx),
+                                     self._data_sharding)
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, metrics = self._train_step(
+                self.state, self._ext_imgs, self._ext_gt, idx_dev, step_rng)
+            self._global_step += 1
+            step = self._global_step
+
+            self._pending.append((step, metrics, b))
+            # Drain lazily so device dispatch stays ahead of host logging.
+            while len(self._pending) > 8:
+                num_errors, total = self._drain_one(num_errors, total)
+            print(f"Batch {batch_i} Step {step}", end="\r")
+
+            if opts.eval_every > 0 and step % opts.eval_every == 0 \
+                    and imgs is not None:
+                self._in_training_eval(imgs, labels, step)
+            if opts.train_score_every > 0 and \
+                    step % opts.train_score_every == 0 and imgs is not None:
+                self._summary.add_to_training_summary(
+                    np.asarray(self.predict(imgs)), labels, step)
+
+        while self._pending:
+            num_errors, total = self._drain_one(num_errors, total)
+        self._summary.flush()
+
+    def _drain_one(self, num_errors, total):
+        step, metrics, bsz = self._pending.popleft()
+        loss = float(jax.device_get(metrics["loss"]))
+        num_errors += float(jax.device_get(metrics["errors"]))
+        total += bsz
+        lr = float(self._schedule(max(step - 1, 0)))
+        self._summary.add_scalars({"loss": loss, "learning_rate": lr}, step)
+        self._summary.add_to_pixel_misclassification_summary(
+            num_errors, total * self._options.patch_size ** 2, step)
+        return num_errors, total
+
+    def _in_training_eval(self, imgs, labels, step: int):
+        """Periodic full-image eval (``tf_aerial_images.py:254-264``)."""
+        opts = self._options
+        n = min(opts.num_eval_images, imgs.shape[0])
+        try:
+            masks = np.asarray(self.predict(imgs[:n]))
+        except ValueError as e:  # stride doesn't tile the eval image size
+            print(f"skipping in-training eval: {e}")
+            return
+        print()
+        overlays = images_io.overlays(imgs[:n], masks)
+        pred_masks = (masks > 0.5).astype(np.float32).squeeze(-1)
+        true_masks = (np.asarray(labels[:n]) >= 0.5).astype(np.float32)
+        self._summary.add_to_eval_summary(masks, overlays, labels, step)
+        self._summary.add_to_overlap_summary(true_masks, pred_masks, step)
+
+    def reset_scores(self):
+        """Per-epoch streaming-metric reset (reference
+        ``tf.local_variables_initializer`` at ``tf_aerial_images.py:428``)."""
+        self._summary.reset_scores()
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=8)
+    def _predict_fn(self, num_images: int, image_size: int, ensemble: bool):
+        """Jitted end-to-end mask prediction for a fixed (N, H) shape."""
+        opts = self._options
+        model = self.model
+        in_size, ps, stride = self.input_size, opts.patch_size, opts.stride
+        offset = self.offset
+        chunk = max(opts.batch_size, 1)
+        data_sharding = self._data_sharding
+
+        n_eff = num_images * (augment_ops.ENSEMBLE_SIZE if ensemble else 1)
+        g = geometry.patches_per_side(image_size, ps, stride)
+        per_img = g * g
+        num_patches = n_eff * per_img
+        num_chunks = -(-num_patches // chunk)
+        pad = num_chunks * chunk - num_patches
+
+        def fn(params, imgs):
+            if ensemble:
+                imgs = augment_ops.image_augmentation_ensemble(imgs)
+            ext = geometry.mirror_border(imgs, offset)
+            patches = geometry.extract_patches(ext, in_size, stride)
+            if pad:
+                patches = jnp.concatenate([
+                    patches,
+                    jnp.zeros((pad, in_size, in_size, NUM_CHANNELS),
+                              patches.dtype)], axis=0)
+            chunks = patches.reshape(
+                num_chunks, chunk, in_size, in_size, NUM_CHANNELS)
+
+            def run_chunk(p):
+                p = jax.lax.with_sharding_constraint(p, data_sharding)
+                logits = model.apply(params, p, deterministic=True)
+                return jax.nn.softmax(logits, axis=-1)[..., 1]
+
+            probs = jax.lax.map(run_chunk, chunks)
+            probs = probs.reshape(-1, ps, ps)[:num_patches]
+            masks = geometry.images_from_patches(
+                probs.reshape(n_eff, per_img, ps, ps, 1), stride=stride)
+            if ensemble:
+                masks = augment_ops.invert_image_augmentation_ensemble(masks)
+            return masks
+
+        return jax.jit(fn)
+
+    def predict(self, imgs):
+        """Predict road-probability masks for ``imgs`` [N, H, W, 3].
+
+        Returns [N, H, W, 1] float32. The whole pipeline (optional 6-way
+        TTA, mirror-extend, overlapping patches, batched U-Net, overlap
+        averaging, ensemble inversion) is one jitted XLA program.
+        """
+        opts = self._options
+        imgs = jnp.asarray(imgs, jnp.float32)
+        n, h = imgs.shape[0], imgs.shape[1]
+        fn = self._predict_fn(n, h, bool(opts.ensemble_prediction))
+        return fn(self.state["params"], imgs)
+
+    def predict_batchwise(self, imgs, pred_batch_size: int):
+        """Chunk images by ``pred_batch_size`` to bound device memory
+        (``tf_aerial_images.py:330-341``)."""
+        masks = []
+        for i in range(int(np.ceil(imgs.shape[0] / pred_batch_size))):
+            chunk = imgs[i * pred_batch_size:(i + 1) * pred_batch_size]
+            masks.append(np.asarray(self.predict(chunk)))
+        return np.concatenate(masks, axis=0) if len(masks) > 1 else masks[0]
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    def save(self, epoch: int = 0) -> str:
+        return self._checkpointer.save(jax.device_get(self.state), epoch)
+
+    def restore(self, date=None, epoch=None, file=None):
+        template = jax.device_get(self.state)
+        state = self._checkpointer.restore(template, date=date, epoch=epoch,
+                                           file=file)
+        self.state = {
+            "step": jax.device_put(jnp.asarray(state["step"]),
+                                   self._replicated),
+            "params": jax.device_put(state["params"], self._param_shardings),
+            "opt_state": jax.device_put(state["opt_state"],
+                                        self._opt_state_shardings(
+                                            state["opt_state"])),
+        }
+        self._global_step = int(np.asarray(state["step"]))
+
+    @property
+    def summary(self) -> Summary:
+        return self._summary
+
+    @property
+    def num_params(self) -> int:
+        return unet_lib.count_params(self.state["params"])

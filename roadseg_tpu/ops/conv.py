@@ -45,15 +45,18 @@ def conv2d_valid(module: nn.Module, x, features: int, *, name: str,
     if impl == "pallas" and jax.default_backend() == "tpu":
         from roadseg_tpu.kernels.conv3x3 import conv3x3_bias
         return conv3x3_bias(x, k, bias, dilation=dilation)
+    # Both operands in ``dtype`` and output in ``dtype`` (the MXU still
+    # accumulates partials in float32 internally); a float32
+    # ``preferred_element_type`` here would break the conv transpose rule
+    # under grad (f32 cotangent vs bf16 kernel).
     out = lax.conv_general_dilated(
         x, k,
         window_strides=(1, 1),
         padding="VALID",
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return (out + bias).astype(dtype)
+    return (out + bias.astype(dtype)).astype(dtype)
 
 
 def conv1x1(module: nn.Module, x, features: int, *, name: str,
@@ -61,6 +64,5 @@ def conv1x1(module: nn.Module, x, features: int, *, name: str,
     """1x1 conv + bias as a channel matmul (maps straight onto the MXU)."""
     kernel, bias = _conv_params(module, name, 1, 1, x.shape[-1], features)
     w = kernel[0, 0].astype(dtype)
-    out = jnp.einsum("bhwc,cf->bhwf", x.astype(dtype), w,
-                     preferred_element_type=jnp.float32)
-    return (out + bias).astype(dtype)
+    out = jnp.einsum("bhwc,cf->bhwf", x.astype(dtype), w)
+    return (out + bias.astype(dtype)).astype(dtype)

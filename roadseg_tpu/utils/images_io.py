@@ -22,6 +22,16 @@ from roadseg_tpu.constants import PIXEL_DEPTH
 from roadseg_tpu.ops import geometry
 
 
+def resolve_data_dir(sub: str = "") -> str:
+    """Locate the dataset: $ROADSEG_DATA, ./data, or the read-only
+    reference mount. Returns the directory joined with ``sub``."""
+    for root in (os.environ.get("ROADSEG_DATA"), "./data",
+                 "/root/reference/data"):
+        if root and os.path.isdir(root):
+            return os.path.join(root, sub) if sub else root
+    raise FileNotFoundError("no data directory found; set $ROADSEG_DATA")
+
+
 def img_float_to_uint8(img) -> np.ndarray:
     """[0,1] float array -> uint8, round-half-away like the reference."""
     return (np.asarray(img) * PIXEL_DEPTH).round().astype(np.uint8)
