@@ -1,0 +1,243 @@
+"""Pallas TPU kernels for the U-Net hot path: 3x3 valid-padding conv
+(+ optional dilation 2) with fused bias, forward and backward.
+
+The native layer standing in for the reference's cuDNN-backed
+``tf.layers.conv2d`` calls (``src/unet.py:34-44``), built for the MXU:
+no im2col materialization — each output row-tile accumulates nine
+shifted-slab matmuls ``[TH, W_out, Cin_t] x [Cin_t, Cout_t]``, one per
+kernel tap, with float32 accumulation in VMEM scratch.
+
+Grid layouts put the reduction dim LAST (fastest-varying on TPU), and the
+output block's index map ignores it, so Pallas keeps the accumulator block
+resident in VMEM across reduction steps (the revisiting rule).
+
+Overlapping input row slabs (conv halos) use ``pl.Element`` block dims:
+element-granular start offsets with declared out-of-bounds padding. OOB
+rows can read garbage on hardware — they only ever feed *discarded*
+output rows (forward) or are explicitly masked (dw reduction).
+
+Backward:
+* dx reuses the forward kernel — valid conv of the zero-padded cotangent
+  with the spatially-flipped, io-transposed kernel;
+* dw is a dedicated per-tap reduction kernel,
+  ``[Cin_t, RH*W'] x [RH*W', Cout_t]`` accumulated over batch x row-chunks;
+* db is a plain sum.
+All wired through ``jax.custom_vjp`` in ``conv3x3_bias``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _channel_tile(c: int) -> int:
+    return 128 if c % 128 == 0 else c
+
+
+# ----------------------------------------------------------------------
+# forward
+# ----------------------------------------------------------------------
+@functools.partial(jax.jit,
+                   static_argnames=("dilation", "interpret", "row_tile"))
+def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
+                row_tile: int = 8):
+    """3x3 valid conv + bias. x: [N, H, W, Cin], k: [3, 3, Cin, Cout]
+    (same dtype as x), bias: [Cout] f32. Returns [N, H-2d, W-2d, Cout]
+    in x.dtype."""
+    n, h, w, cin = x.shape
+    cout = k.shape[-1]
+    d = dilation
+    h_out, w_out = h - 2 * d, w - 2 * d
+
+    ci_t = _channel_tile(cin)
+    co_t = _channel_tile(cout)
+    th = min(row_tile, h_out)
+    num_ci = _cdiv(cin, ci_t)
+    num_th = _cdiv(h_out, th)
+    pad_hi = max(0, (num_th - 1) * th + th + 2 * d - h)
+    bias2 = bias.reshape(1, cout)
+
+    def kernel(x_ref, k_ref, b_ref, o_ref, acc_ref):
+        ci = pl.program_id(3)
+
+        @pl.when(ci == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc = acc_ref[:]
+        for ky in range(3):
+            for kx in range(3):
+                slab = x_ref[0, ky * d:ky * d + th,
+                             kx * d:kx * d + w_out, :]
+                acc = acc + jax.lax.dot_general(
+                    slab, k_ref[ky, kx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        acc_ref[:] = acc
+
+        @pl.when(ci == num_ci - 1)
+        def _():
+            o_ref[0] = (acc_ref[:] + b_ref[0].astype(jnp.float32)
+                        ).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n, num_th, _cdiv(cout, co_t), num_ci),
+        in_specs=[
+            pl.BlockSpec(
+                (1, pl.Element(th + 2 * d, (0, pad_hi)), w, ci_t),
+                lambda b, i, co, ci: (b, i * th, 0, ci),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, ci_t, co_t),
+                         lambda b, i, co, ci: (0, 0, ci, co),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co_t), lambda b, i, co, ci: (0, co),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w_out, co_t),
+            lambda b, i, co, ci: (b, i, 0, co),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, cout), x.dtype),
+        scratch_shapes=[pltpu.VMEM((th, w_out, co_t), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * n * h_out * w_out * cin * cout,
+            bytes_accessed=(x.size + k.size) * x.dtype.itemsize
+            + n * h_out * w_out * cout * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, k, bias2)
+
+
+# ----------------------------------------------------------------------
+# backward: dw
+# ----------------------------------------------------------------------
+@functools.partial(jax.jit,
+                   static_argnames=("dilation", "interpret", "row_chunk"))
+def conv3x3_dw(x, g, *, dilation: int = 1, interpret: bool = False,
+               row_chunk: int = 16):
+    """Kernel gradient. x: [N, H, W, Cin], g: [N, H', W', Cout] (cotangent,
+    x.dtype) -> dw [3, 3, Cin, Cout] float32.
+
+    dw[ky,kx,ci,co] = sum_{b,y,x} x[b, y+ky*d, x+kx*d, ci] * g[b,y,x,co]
+    — one MXU contraction per (tap, row-chunk, batch) accumulated in VMEM.
+    """
+    n, h, w, cin = x.shape
+    _, h_out, w_out, cout = g.shape
+    d = dilation
+
+    ci_t = _channel_tile(cin)
+    co_t = _channel_tile(cout)
+    rh = min(row_chunk, h_out)
+    num_r = _cdiv(h_out, rh)
+    num_acc = n * num_r
+    # x rows for tap ky, chunk rc: [ky*d + rc*rh, ky*d + rc*rh + rh)
+    pad_hi = max(0, 2 * d + (num_r - 1) * rh + rh - h)
+
+    def kernel(x_ref, g_ref, dw_ref, acc_ref):
+        tap, step = pl.program_id(0), pl.program_id(3)
+        rc = step % num_r
+
+        @pl.when(step == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # mask rows beyond h_out (last partial chunk reads OOB); mask BOTH
+        # operands — OOB hardware reads are undefined and NaN * 0 = NaN
+        valid = jnp.minimum(rh, h_out - rc * rh)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rh, 1, 1), 0)
+        g_slab = jnp.where(row_ids < valid, g_ref[0],
+                           jnp.zeros((), g_ref.dtype))
+        x_slab = jnp.where(row_ids < valid, x_ref[0],
+                           jnp.zeros((), x_ref.dtype))
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            x_slab, g_slab,
+            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(step == num_acc - 1)
+        def _():
+            dw_ref[0, 0] = acc_ref[:]
+
+    def x_index(tap, ci, co, step):
+        b, rc = step // num_r, step % num_r
+        ky, kx = tap // 3, tap % 3
+        return (b, ky * d + rc * rh, kx * d, ci)
+
+    def g_index(tap, ci, co, step):
+        b, rc = step // num_r, step % num_r
+        return (b, rc, 0, co)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(9, _cdiv(cin, ci_t), _cdiv(cout, co_t), num_acc),
+        in_specs=[
+            pl.BlockSpec(
+                (1, pl.Element(rh, (0, pad_hi)), pl.Element(w_out), ci_t),
+                x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rh, w_out, co_t), g_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ci_t, co_t),
+            lambda tap, ci, co, step: (tap // 3, tap % 3, ci, co),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, 3, cin, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ci_t, co_t), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * n * h_out * w_out * cin * cout,
+            bytes_accessed=9 * (x.size + g.size) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, g)
+
+
+# ----------------------------------------------------------------------
+# public op with custom VJP
+# ----------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_bias(x, k, bias, dilation: int = 1, interpret: bool = False):
+    """Fused 3x3 valid conv + bias with Pallas forward and backward.
+
+    x: [N, H, W, Cin]; k: [3, 3, Cin, Cout] float32 params (cast to x.dtype
+    for the MXU); bias: [Cout] f32. Output [N, H-2d, W-2d, Cout], x.dtype.
+    """
+    return conv3x3_fwd(x, k.astype(x.dtype), bias, dilation=dilation,
+                       interpret=interpret)
+
+
+def _conv3x3_bias_fwd(x, k, bias, dilation, interpret):
+    out = conv3x3_fwd(x, k.astype(x.dtype), bias, dilation=dilation,
+                      interpret=interpret)
+    return out, (x, k)
+
+
+def _conv3x3_bias_bwd(dilation, interpret, res, g):
+    x, k = res
+    d = dilation
+    g = g.astype(x.dtype)
+    # dx: pad g by 2d, conv with spatially-flipped io-transposed kernel.
+    g_pad = jnp.pad(g, ((0, 0), (2 * d, 2 * d), (2 * d, 2 * d), (0, 0)))
+    k_flip = jnp.flip(k, axis=(0, 1)).transpose(0, 1, 3, 2)  # [3,3,Co,Ci]
+    zeros_ci = jnp.zeros((x.shape[-1],), jnp.float32)
+    dx = conv3x3_fwd(g_pad, k_flip.astype(x.dtype), zeros_ci,
+                     dilation=d, interpret=interpret)
+    dw = conv3x3_dw(x, g, dilation=d, interpret=interpret)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+    return dx, dw.astype(k.dtype), db
+
+
+conv3x3_bias.defvjp(_conv3x3_bias_fwd, _conv3x3_bias_bwd)

@@ -42,9 +42,18 @@ def conv2d_valid(module: nn.Module, x, features: int, *, name: str,
     kernel, bias = _conv_params(module, name, 3, 3, x.shape[-1], features)
     x = x.astype(dtype)
     k = kernel.astype(dtype)
-    if impl == "pallas" and jax.default_backend() == "tpu":
-        from roadseg_tpu.kernels.conv3x3 import conv3x3_bias
-        return conv3x3_bias(x, k, bias, dilation=dilation)
+    # Pallas path for MXU-shaped convs; the 3-channel first conv stays on
+    # XLA (a 3-wide contraction would waste 125/128 lanes). Off-TPU the
+    # kernels run in interpret mode when ROADSEG_PALLAS_INTERPRET=1
+    # (CI coverage of the wiring), else fall back to XLA.
+    if impl == "pallas" and x.shape[-1] >= 8:
+        import os
+        on_tpu = jax.default_backend() == "tpu"
+        interpret = os.environ.get("ROADSEG_PALLAS_INTERPRET") == "1"
+        if on_tpu or interpret:
+            from roadseg_tpu.kernels.conv3x3 import conv3x3_bias
+            return conv3x3_bias(x, kernel, bias, dilation,
+                                interpret and not on_tpu)
     # Both operands in ``dtype`` and output in ``dtype`` (the MXU still
     # accumulates partials in float32 internally); a float32
     # ``preferred_element_type`` here would break the conv transpose rule
