@@ -70,6 +70,8 @@ class Options:
     mesh: str = ""
     # Rematerialize encoder blocks in the backward pass to trade FLOPs for HBM.
     remat: bool = False
+    # Emit a jax.profiler trace (TensorBoard-loadable) of the first epoch.
+    profile: bool = False
 
     def __post_init__(self):
         if isinstance(self.rotation_angles, str):
@@ -175,6 +177,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=str, default=d.mesh,
                    help='Device mesh spec, e.g. "data=4,model=2"')
     boolean("remat", d.remat, "Rematerialize encoder blocks in backward pass")
+    boolean("profile", d.profile, "Profile the first training epoch")
     return p
 
 

@@ -267,35 +267,49 @@ class Engine:
         indices = np.arange(len(table))
         np.random.shuffle(indices)
 
+        from roadseg_tpu.utils.profiler import StepTimer, trace
+        timer = StepTimer()
+        profile_ctx = trace(f"{opts.logdir}/{self.experiment_name}/profile",
+                            enabled=opts.profile and self._global_step == 0)
+
         num_errors, total = 0.0, 0
         b = opts.batch_size
         # fixed-size batches, dropping the remainder (tf_aerial_images.py:232)
-        for batch_i, off in enumerate(range(0, len(table) - b, b)):
-            batch_idx = table[indices[off:off + b]]
-            idx_dev = jax.device_put(jnp.asarray(batch_idx),
-                                     self._data_sharding)
-            self._rng, step_rng = jax.random.split(self._rng)
-            self.state, metrics = self._train_step(
-                self.state, self._ext_imgs, self._ext_gt, idx_dev, step_rng)
-            self._global_step += 1
-            step = self._global_step
+        with profile_ctx:
+            for batch_i, off in enumerate(range(0, len(table) - b, b)):
+                batch_idx = table[indices[off:off + b]]
+                idx_dev = jax.device_put(jnp.asarray(batch_idx),
+                                         self._data_sharding)
+                self._rng, step_rng = jax.random.split(self._rng)
+                self.state, metrics = self._train_step(
+                    self.state, self._ext_imgs, self._ext_gt, idx_dev,
+                    step_rng)
+                self._global_step += 1
+                step = self._global_step
+                timer.tick()
 
-            self._pending.append((step, metrics, b))
-            # Drain lazily so device dispatch stays ahead of host logging.
-            while len(self._pending) > 8:
-                num_errors, total = self._drain_one(num_errors, total)
-            print(f"Batch {batch_i} Step {step}", end="\r")
+                self._pending.append((step, metrics, b))
+                # Drain lazily so device dispatch stays ahead of host logging.
+                while len(self._pending) > 8:
+                    num_errors, total = self._drain_one(num_errors, total)
+                print(f"Batch {batch_i} Step {step}", end="\r")
 
-            if opts.eval_every > 0 and step % opts.eval_every == 0 \
-                    and imgs is not None:
-                self._in_training_eval(imgs, labels, step)
-            if opts.train_score_every > 0 and \
-                    step % opts.train_score_every == 0 and imgs is not None:
-                self._summary.add_to_training_summary(
-                    np.asarray(self.predict(imgs)), labels, step)
+                if opts.eval_every > 0 and step % opts.eval_every == 0 \
+                        and imgs is not None:
+                    self._in_training_eval(imgs, labels, step)
+                if opts.train_score_every > 0 and \
+                        step % opts.train_score_every == 0 and \
+                        imgs is not None:
+                    self._summary.add_to_training_summary(
+                        np.asarray(self.predict(imgs)), labels, step)
 
         while self._pending:
             num_errors, total = self._drain_one(num_errors, total)
+        jax.block_until_ready(self.state["params"])
+        timer.tick()
+        print(f"\nepoch done: {timer.summary()}")
+        self._summary.add_scalars(
+            {"steps_per_sec": timer.steps_per_sec}, self._global_step)
         self._summary.flush()
 
     def _drain_one(self, num_errors, total):

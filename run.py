@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Submission reproduction script — counterpart of the reference ``run.py``.
+
+The reference pins the winning config (``run.py:121-137``: 6-layer dilated
+U-Net, patch 388 / input 764, stride 110, 6-way ensemble, batch 1),
+downloads pretrained weights over HTTP with a SHA-256 check, restores
+``model-epoch-011.chkpt`` and runs predict -> quantize -> overlays -> CSV
+over ``data/test``.
+
+This environment has no network egress, so instead of a download the
+weights come from a local checkpoint:
+
+    ./run.py                          # newest checkpoint under ./runs
+    ./run.py --model <ckpt-path>      # explicit checkpoint
+    ./run.py --train                  # train the pinned config first
+    ./run.py <accel-id>               # parity no-op (device index arg)
+
+Without any checkpoint it refuses (a random-weight "submission" would be
+meaningless) unless --train is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+from roadseg_tpu.config import Options
+from roadseg_tpu.constants import FOREGROUND_THRESHOLD, IMG_PATCH_SIZE
+from roadseg_tpu.engine import Engine
+from roadseg_tpu.ops import geometry
+from roadseg_tpu.utils import images_io
+
+# The pinned winning configuration (reference run.py:121-137). The TPU
+# build keeps the model/geometry flags identical; batch sizes are TPU
+# throughput knobs with no effect on the masks.
+SUBMISSION_CONFIG = dict(
+    num_epoch=0,
+    batch_size=9,            # reference uses 1; 9 = one 3x3 window grid
+    pred_batch_size=2,       # reference uses 1
+    patch_size=388,
+    stride=110,
+    num_layers=6,
+    root_size=64,
+    dilated_layers=True,
+    ensemble_prediction=True,
+    dropout=1.0,
+)
+TRAIN_CONFIG = dict(
+    num_epoch=12,            # winning checkpoint was epoch 11 (0-based)
+    batch_size=8,
+    stride=12,
+    image_augmentation=True,
+    rotation_angles=[0, 15, 30, 45, 60, 75, 90],
+    lr=0.01,
+    eval_every=0, train_score_every=0,
+)
+
+
+def newest_checkpoint(save_path: str):
+    cands = sorted(glob.glob(os.path.join(save_path, "*",
+                                          "model-epoch-*.chkpt")))
+    return cands[-1] if cands else None
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("accelerator", nargs="?", default=None,
+                   help="accelerator index (parity arg; TPU selection is "
+                        "automatic)")
+    p.add_argument("--model", type=str, default=None,
+                   help="checkpoint to restore (default: newest under "
+                        "--save_path)")
+    p.add_argument("--train", action="store_true",
+                   help="train the pinned config before predicting")
+    p.add_argument("--save_path", type=str,
+                   default=os.path.abspath("./runs"))
+    p.add_argument("--data", type=str, default=None,
+                   help="data root (default: ./data or the reference mount)")
+    p.add_argument("--out", type=str, default=None,
+                   help="output dir (default: <save_path>/<experiment>)")
+    args = p.parse_args(argv)
+
+    data_root = args.data or images_io.resolve_data_dir()
+    opts = Options(**SUBMISSION_CONFIG, save_path=args.save_path,
+                   train_data_dir=os.path.join(data_root, "training"))
+
+    if args.train:
+        for key, val in TRAIN_CONFIG.items():
+            setattr(opts, key, val)
+        model = Engine(opts)
+        imgs, gt = images_io.load_train_data(opts.train_data_dir)
+        model.prepare_training_data(imgs, gt)
+        for i in range(opts.num_epoch):
+            print(f"==== Train epoch: {i} ====")
+            model.reset_scores()
+            model.train(imgs, gt)
+            model.save(i)
+        opts.num_epoch = 0
+        opts.batch_size = SUBMISSION_CONFIG["batch_size"]
+        opts.stride = SUBMISSION_CONFIG["stride"]
+        opts.image_augmentation = False
+    else:
+        ckpt = args.model or newest_checkpoint(args.save_path)
+        if ckpt is None:
+            print("No checkpoint found. Train one first:  ./run.py --train",
+                  file=sys.stderr)
+            return 1
+        model = Engine(opts)
+        model.restore(file=ckpt)
+
+    test_dir = os.path.join(data_root, "test")
+    imgs = images_io.load(test_dir)
+    print(f"Running prediction on {imgs.shape[0]} test images...")
+    start = time.time()
+    masks = model.predict_batchwise(imgs, opts.pred_batch_size)
+    stop = time.time()
+    print(f"Prediction time: {(stop - start) / 60:.2f} mins "
+          f"({imgs.shape[0] / (stop - start):.3f} img/s)")
+
+    masks = np.asarray(geometry.quantize_mask(
+        masks, threshold=FOREGROUND_THRESHOLD, patch_size=IMG_PATCH_SIZE))
+    out_dir = args.out or os.path.abspath(
+        os.path.join(opts.save_path, model.experiment_name))
+    overlay_imgs = images_io.overlays(imgs, masks, fade=0.4)
+    images_io.save_all(overlay_imgs, out_dir)
+    images_io.save_submission_csv(masks, out_dir, IMG_PATCH_SIZE)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
