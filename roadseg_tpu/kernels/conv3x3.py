@@ -11,15 +11,18 @@ Grid layouts put the reduction dim LAST (fastest-varying on TPU), and the
 output block's index map ignores it, so Pallas keeps the accumulator block
 resident in VMEM across reduction steps (the revisiting rule).
 
-Overlapping input row slabs (conv halos) use ``pl.Element`` block dims:
-element-granular start offsets with declared out-of-bounds padding. OOB
-rows can read garbage on hardware — they only ever feed *discarded*
-output rows (forward) or are explicitly masked (dw reduction).
+Conv halos use the **dual row-spec** pattern: the input is passed twice
+with row-block index maps ``i`` and ``min(i+1, last)`` (all dims Blocked —
+Mosaic cannot prove tiling divisibility for element-granular starts on
+small-channel layouts), and the kernel stitches ``rows[i*TH : i*TH+TH+2d]``
+from the two blocks. The clamped second block means out-of-range rows read
+*real* (wrong but finite) data that only ever feeds discarded or masked
+output rows — no NaN-poisoning risk.
 
 Backward:
 * dx reuses the forward kernel — valid conv of the zero-padded cotangent
   with the spatially-flipped, io-transposed kernel;
-* dw is a dedicated per-tap reduction kernel,
+* dw is a dedicated per-tap masked reduction kernel,
   ``[Cin_t, RH*W'] x [RH*W', Cout_t]`` accumulated over batch x row-chunks;
 * db is a plain sum.
 All wired through ``jax.custom_vjp`` in ``conv3x3_bias``.
@@ -61,23 +64,26 @@ def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
     ci_t = _channel_tile(cin)
     co_t = _channel_tile(cout)
     th = min(row_tile, h_out)
+    if th < 2 * d:
+        th = 2 * d  # halo stitching needs the halo within one extra block
     num_ci = _cdiv(cin, ci_t)
     num_th = _cdiv(h_out, th)
-    pad_hi = max(0, (num_th - 1) * th + th + 2 * d - h)
+    num_xb = _cdiv(h, th)  # row blocks available in x
     bias2 = bias.reshape(1, cout)
 
-    def kernel(x_ref, k_ref, b_ref, o_ref, acc_ref):
+    def kernel(xa_ref, xb_ref, k_ref, b_ref, o_ref, acc_ref):
         ci = pl.program_id(3)
 
         @pl.when(ci == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
+        # rows [i*th, i*th + th + 2d) stitched from blocks i and i+1
+        rows = jnp.concatenate([xa_ref[0], xb_ref[0, :2 * d]], axis=0)
         acc = acc_ref[:]
         for ky in range(3):
             for kx in range(3):
-                slab = x_ref[0, ky * d:ky * d + th,
-                             kx * d:kx * d + w_out, :]
+                slab = rows[ky * d:ky * d + th, kx * d:kx * d + w_out, :]
                 acc = acc + jax.lax.dot_general(
                     slab, k_ref[ky, kx],
                     dimension_numbers=(((2,), (0,)), ((), ())),
@@ -94,9 +100,13 @@ def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
         kernel,
         grid=(n, num_th, _cdiv(cout, co_t), num_ci),
         in_specs=[
+            pl.BlockSpec((1, th, w, ci_t),
+                         lambda b, i, co, ci: (b, i, 0, ci),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, pl.Element(th + 2 * d, (0, pad_hi)), w, ci_t),
-                lambda b, i, co, ci: (b, i * th, 0, ci),
+                (1, th, w, ci_t),
+                lambda b, i, co, ci: (b, jnp.minimum(i + 1, num_xb - 1),
+                                      0, ci),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, ci_t, co_t),
                          lambda b, i, co, ci: (0, 0, ci, co),
@@ -113,11 +123,11 @@ def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * n * h_out * w_out * cin * cout,
-            bytes_accessed=(x.size + k.size) * x.dtype.itemsize
+            bytes_accessed=(2 * x.size + k.size) * x.dtype.itemsize
             + n * h_out * w_out * cout * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, k, bias2)
+    )(x, x, k, bias2)
 
 
 # ----------------------------------------------------------------------
@@ -139,28 +149,32 @@ def conv3x3_dw(x, g, *, dilation: int = 1, interpret: bool = False,
 
     ci_t = _channel_tile(cin)
     co_t = _channel_tile(cout)
-    rh = min(row_chunk, h_out)
+    rh = max(min(row_chunk, h_out), 2 * d)
     num_r = _cdiv(h_out, rh)
     num_acc = n * num_r
-    # x rows for tap ky, chunk rc: [ky*d + rc*rh, ky*d + rc*rh + rh)
-    pad_hi = max(0, 2 * d + (num_r - 1) * rh + rh - h)
+    num_xb = _cdiv(h, rh)
 
-    def kernel(x_ref, g_ref, dw_ref, acc_ref):
+    def kernel(xa_ref, xb_ref, g_ref, dw_ref, acc_ref):
         tap, step = pl.program_id(0), pl.program_id(3)
+        ky, kx = tap // 3, tap % 3
         rc = step % num_r
 
         @pl.when(step == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        # mask rows beyond h_out (last partial chunk reads OOB); mask BOTH
-        # operands — OOB hardware reads are undefined and NaN * 0 = NaN
+        # x rows [rc*rh + ky*d, rc*rh + ky*d + rh) stitched from two blocks
+        rows = jnp.concatenate([xa_ref[0], xb_ref[0, :2 * d]], axis=0)
+        x_slab = jax.lax.dynamic_slice(
+            rows, (ky * d, kx * d, 0), (rh, w_out, rows.shape[-1]))
+
+        # mask rows beyond h_out (last partial chunk); mask BOTH operands
         valid = jnp.minimum(rh, h_out - rc * rh)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (rh, 1, 1), 0)
         g_slab = jnp.where(row_ids < valid, g_ref[0],
                            jnp.zeros((), g_ref.dtype))
-        x_slab = jnp.where(row_ids < valid, x_ref[0],
-                           jnp.zeros((), x_ref.dtype))
+        x_slab = jnp.where(row_ids < valid, x_slab,
+                           jnp.zeros((), x_slab.dtype))
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
             x_slab, g_slab,
             dimension_numbers=(((0, 1), (0, 1)), ((), ())),
@@ -171,10 +185,13 @@ def conv3x3_dw(x, g, *, dilation: int = 1, interpret: bool = False,
         def _():
             dw_ref[0, 0] = acc_ref[:]
 
-    def x_index(tap, ci, co, step):
+    def xa_index(tap, ci, co, step):
         b, rc = step // num_r, step % num_r
-        ky, kx = tap // 3, tap % 3
-        return (b, ky * d + rc * rh, kx * d, ci)
+        return (b, rc, 0, ci)
+
+    def xb_index(tap, ci, co, step):
+        b, rc = step // num_r, step % num_r
+        return (b, jnp.minimum(rc + 1, num_xb - 1), 0, ci)
 
     def g_index(tap, ci, co, step):
         b, rc = step // num_r, step % num_r
@@ -184,9 +201,10 @@ def conv3x3_dw(x, g, *, dilation: int = 1, interpret: bool = False,
         kernel,
         grid=(9, _cdiv(cin, ci_t), _cdiv(cout, co_t), num_acc),
         in_specs=[
-            pl.BlockSpec(
-                (1, pl.Element(rh, (0, pad_hi)), pl.Element(w_out), ci_t),
-                x_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rh, w, ci_t), xa_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rh, w, ci_t), xb_index,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rh, w_out, co_t), g_index,
                          memory_space=pltpu.VMEM),
         ],
@@ -199,10 +217,10 @@ def conv3x3_dw(x, g, *, dilation: int = 1, interpret: bool = False,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * n * h_out * w_out * cin * cout,
-            bytes_accessed=9 * (x.size + g.size) * x.dtype.itemsize,
+            bytes_accessed=9 * (2 * x.size + g.size) * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, g)
+    )(x, x, g)
 
 
 # ----------------------------------------------------------------------
@@ -235,6 +253,7 @@ def _conv3x3_bias_bwd(dilation, interpret, res, g):
     zeros_ci = jnp.zeros((x.shape[-1],), jnp.float32)
     dx = conv3x3_fwd(g_pad, k_flip.astype(x.dtype), zeros_ci,
                      dilation=d, interpret=interpret)
+    # dw: per-tap reduction over batch x output pixels.
     dw = conv3x3_dw(x, g, dilation=d, interpret=interpret)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
     return dx, dw.astype(k.dtype), db

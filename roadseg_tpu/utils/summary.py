@@ -82,6 +82,27 @@ class StreamingScores:
                 f"{prefix}f1_score": self.f1}
 
 
+def patch_scores(pred_masks, gt_masks, patch_size: int = IMG_PATCH_SIZE):
+    """Patch-level accuracy/recall/precision/F1 between probability masks
+    and groundtruth masks — the metric family of the reference's eval
+    summaries and the Kaggle score (``summary.py:28-51``, ``:141-147``).
+
+    pred_masks: [N, H, W(, 1)] probabilities; gt_masks: [N, H, W] in [0,1].
+    Labels are 16x16-block means > FOREGROUND_THRESHOLD after binarizing
+    pixels at 0.5 (the two-stage Kaggle thresholding).
+    """
+    pred = np.asarray(pred_masks)
+    if pred.ndim == 4:
+        pred = pred[..., 0]
+    pred_lab = img_to_label_patches(
+        (pred > 0.5).astype(np.float32), patch_size)
+    gt_lab = img_to_label_patches(
+        (np.asarray(gt_masks) >= 0.5).astype(np.float32), patch_size)
+    s = StreamingScores()
+    s.update(np.asarray(gt_lab), np.asarray(pred_lab))
+    return s.as_dict()
+
+
 class _JsonlWriter:
     """Fallback writer: one JSON object per event."""
 

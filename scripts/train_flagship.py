@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Train the flagship config ("Mango": 6-layer dilated U-Net, the
+reference's best — ``report/report.tex:267``) with a held-out validation
+split and per-epoch patch-F1 reporting.
+
+The reference validated via Kaggle's hidden test set (F1 0.939 / score
+94.124). Without the Kaggle server we hold out the last N training images
+and report patch-level F1 there after each epoch, plus a final 6-way
+ensemble evaluation.
+
+Usage: python scripts/train_flagship.py [--epochs 12] [--val 10]
+                                        [--batch 8] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from roadseg_tpu.config import Options
+from roadseg_tpu.engine import Engine
+from roadseg_tpu.utils import images_io
+from roadseg_tpu.utils.summary import patch_scores
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--val", type=int, default=10)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--stride", type=int, default=12)
+    p.add_argument("--angles", type=str, default="0,15,30,45,60,75,90")
+    p.add_argument("--layers", type=int, default=6)
+    p.add_argument("--dilated", type=lambda s: s != "0", default=True)
+    p.add_argument("--remat", action="store_true", default=True)
+    p.add_argument("--no-remat", dest="remat", action="store_false")
+    p.add_argument("--save_path", default=os.path.abspath("./runs"))
+    p.add_argument("--quick", action="store_true",
+                   help="tiny smoke config (1 epoch, 1 angle, 20 imgs)")
+    args = p.parse_args(argv)
+
+    angles = [int(a) for a in args.angles.split(",")]
+    if args.quick:
+        args.epochs, angles = 1, [0]
+
+    opts = Options(
+        num_layers=args.layers, root_size=64, dilated_layers=args.dilated,
+        patch_size=388, stride=args.stride, batch_size=args.batch,
+        dropout=1.0, image_augmentation=True, rotation_angles=angles,
+        lr=0.01, momentum=0.9, num_epoch=args.epochs,
+        eval_every=0, train_score_every=0, remat=args.remat,
+        save_path=args.save_path,
+        logdir=os.path.join(args.save_path, "logs"),
+    )
+    model = Engine(opts)
+    print(f"model: {model.num_params:,} params, input {model.input_size}")
+
+    data_root = images_io.resolve_data_dir()
+    imgs, gt = images_io.load_train_data(os.path.join(data_root, "training"))
+    if args.quick:
+        imgs, gt = imgs[:20], gt[:20]
+    n_val = min(args.val, imgs.shape[0] // 5)
+    tr_imgs, tr_gt = imgs[:-n_val], gt[:-n_val]
+    va_imgs, va_gt = imgs[-n_val:], gt[-n_val:]
+    model.prepare_training_data(tr_imgs, tr_gt, rotation_angles=angles)
+
+    results = []
+    for epoch in range(args.epochs):
+        print(f"==== Train epoch: {epoch} ====")
+        model.reset_scores()
+        t0 = time.time()
+        model.train(tr_imgs, tr_gt)
+        train_s = time.time() - t0
+
+        t0 = time.time()
+        masks = model.predict_batchwise(va_imgs, 2)
+        scores = patch_scores(masks, va_gt)
+        rec = {"epoch": epoch, "train_s": round(train_s, 1),
+               "eval_s": round(time.time() - t0, 1),
+               **{k: round(v, 4) for k, v in scores.items()}}
+        results.append(rec)
+        print(json.dumps(rec))
+        model.save(epoch)
+        with open(os.path.join(model._checkpointer.experiment_dir,
+                               "val_scores.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    # final: 6-way ensemble eval (the Kaggle inference config; the
+    # ensemble flag is part of the predict-fn cache key)
+    model._options.ensemble_prediction = True
+    masks = model.predict_batchwise(va_imgs, 2)
+    scores = patch_scores(masks, va_gt)
+    print("ensemble val:", json.dumps(
+        {k: round(v, 4) for k, v in scores.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
