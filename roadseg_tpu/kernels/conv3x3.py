@@ -49,38 +49,44 @@ def _channel_tile(c: int) -> int:
 # ----------------------------------------------------------------------
 # forward
 # ----------------------------------------------------------------------
+_VMEM_BLOCK_BUDGET = 2 * 1024 * 1024  # per input block, pre double-buffer
+
+
 @functools.partial(jax.jit,
                    static_argnames=("dilation", "interpret", "row_tile"))
 def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
                 row_tile: int = 8):
     """3x3 valid conv + bias. x: [N, H, W, Cin], k: [3, 3, Cin, Cout]
     (same dtype as x), bias: [Cout] f32. Returns [N, H-2d, W-2d, Cout]
-    in x.dtype."""
+    in x.dtype.
+
+    Strategy: keep Cin un-tiled whenever the x row-slab fits VMEM (true
+    for every layer of the U-Net) — then each output block is written in a
+    SINGLE grid step (no revisiting), which XLA/Mosaic schedules without
+    staging the whole output array in VMEM. Only pathological
+    cin x width combinations fall back to a cin-reduction grid.
+    """
     n, h, w, cin = x.shape
     cout = k.shape[-1]
     d = dilation
     h_out, w_out = h - 2 * d, w - 2 * d
+    itemsize = x.dtype.itemsize
 
-    ci_t = _channel_tile(cin)
+    th = max(min(row_tile, h_out), 2 * d)
+    if (th + 2 * d) * w * cin * itemsize <= _VMEM_BLOCK_BUDGET:
+        ci_t = cin  # one visit per output block
+    else:
+        ci_t = _channel_tile(cin)
     co_t = _channel_tile(cout)
-    th = min(row_tile, h_out)
-    if th < 2 * d:
-        th = 2 * d  # halo stitching needs the halo within one extra block
+    while 9 * ci_t * co_t * itemsize > 8 * _VMEM_BLOCK_BUDGET \
+            and co_t % 2 == 0:
+        co_t //= 2
     num_ci = _cdiv(cin, ci_t)
     num_th = _cdiv(h_out, th)
     num_xb = _cdiv(h, th)  # row blocks available in x
     bias2 = bias.reshape(1, cout)
 
-    def kernel(xa_ref, xb_ref, k_ref, b_ref, o_ref, acc_ref):
-        ci = pl.program_id(3)
-
-        @pl.when(ci == 0)
-        def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        # rows [i*th, i*th + th + 2d) stitched from blocks i and i+1
-        rows = jnp.concatenate([xa_ref[0], xb_ref[0, :2 * d]], axis=0)
-        acc = acc_ref[:]
+    def taps_matmul(rows, k_ref, acc):
         for ky in range(3):
             for kx in range(3):
                 slab = rows[ky * d:ky * d + th, kx * d:kx * d + w_out, :]
@@ -89,7 +95,64 @@ def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
                     dimension_numbers=(((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-        acc_ref[:] = acc
+        return acc
+
+    cost = pl.CostEstimate(
+        flops=2 * 9 * n * h_out * w_out * cin * cout,
+        bytes_accessed=(2 * x.size + k.size) * itemsize
+        + n * h_out * w_out * cout * itemsize,
+        transcendentals=0,
+    )
+    out_shape = jax.ShapeDtypeStruct((n, h_out, w_out, cout), x.dtype)
+
+    if num_ci == 1:
+        # -- single-visit path: grid (n, rows, cout); no accumulator scratch
+        def kernel(xa_ref, xb_ref, k_ref, b_ref, o_ref):
+            rows = jnp.concatenate([xa_ref[0], xb_ref[0, :2 * d]], axis=0)
+            acc = taps_matmul(
+                rows, k_ref,
+                jnp.zeros((th, w_out, co_t), jnp.float32))
+            o_ref[0] = (acc + b_ref[0].astype(jnp.float32)
+                        ).astype(o_ref.dtype)
+
+        return pl.pallas_call(
+            kernel,
+            grid=(n, num_th, _cdiv(cout, co_t)),
+            in_specs=[
+                pl.BlockSpec((1, th, w, cin),
+                             lambda b, i, co: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, th, w, cin),
+                    lambda b, i, co: (b, jnp.minimum(i + 1, num_xb - 1),
+                                      0, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 3, cin, co_t),
+                             lambda b, i, co: (0, 0, 0, co),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, co_t), lambda b, i, co: (0, co),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, th, w_out, co_t),
+                lambda b, i, co: (b, i, 0, co),
+                memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            interpret=interpret,
+            cost_estimate=cost,
+        )(x, x, k, bias2)
+
+    # -- fallback: cin-reduction grid (reduction dim last, block-resident
+    #    f32 accumulator in scratch)
+    def kernel(xa_ref, xb_ref, k_ref, b_ref, o_ref, acc_ref):
+        ci = pl.program_id(3)
+
+        @pl.when(ci == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        rows = jnp.concatenate([xa_ref[0], xb_ref[0, :2 * d]], axis=0)
+        acc_ref[:] = taps_matmul(rows, k_ref, acc_ref[:])
 
         @pl.when(ci == num_ci - 1)
         def _():
@@ -118,15 +181,10 @@ def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
             (1, th, w_out, co_t),
             lambda b, i, co, ci: (b, i, 0, co),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h_out, w_out, cout), x.dtype),
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((th, w_out, co_t), jnp.float32)],
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 9 * n * h_out * w_out * cin * cout,
-            bytes_accessed=(2 * x.size + k.size) * x.dtype.itemsize
-            + n * h_out * w_out * cout * x.dtype.itemsize,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
     )(x, x, k, bias2)
 
 

@@ -64,3 +64,21 @@ def test_csv_label_threshold(tmp_path):
                 open(out).read().strip().split("\n")[1:])
     assert rows["001_0_0"] == "0"
     assert rows["001_16_16"] == "1"
+
+
+def test_compare_submissions_reference_pair():
+    """Sanity of the scoring utility on two real reference submissions:
+    the 94.124 and 93.994 runs should agree on the vast majority of
+    patches but not all."""
+    import glob
+    from roadseg_tpu.utils.scoring import compare_submissions
+    subs = sorted(glob.glob(
+        "/root/reference/submissions/*/submission.csv"))
+    if len(subs) < 2:
+        pytest.skip("reference submissions not mounted")
+    best = [s for s in subs if "94_124" in s][0]
+    other = [s for s in subs if "93_994" in s][0]
+    r = compare_submissions(other, best)
+    assert r["total"] == 50 * 38 * 38
+    assert 0.90 < r["agreement"] < 1.0
+    assert 0.80 < r["f1_vs_ref"] < 1.0
