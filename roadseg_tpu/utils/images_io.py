@@ -39,14 +39,25 @@ def img_float_to_uint8(img) -> np.ndarray:
 
 def load(directory: str) -> np.ndarray:
     """Load all PNGs in ``directory`` (sorted by name) into a float32 tensor
-    [num_images, H, W(, C)] scaled to [0, 1]."""
+    [num_images, H, W(, C)] scaled to [0, 1].
+
+    Uses the native multithreaded libpng batch loader (``native/``) when
+    built; falls back to PIL per-file decode otherwise.
+    """
     paths = sorted(glob.glob(os.path.join(directory, "*.png")))
     print(f"Loading {len(paths)} images from {directory} ...")
-    imgs = []
-    for p in paths:
-        arr = np.asarray(Image.open(p), dtype=np.float32) / PIXEL_DEPTH
-        imgs.append(arr)
-    return np.stack(imgs) if imgs else np.zeros((0,), np.float32)
+    if not paths:
+        return np.zeros((0,), np.float32)
+    try:
+        from roadseg_tpu.utils import native_loader
+        if native_loader.available():
+            batch = native_loader.load_png_batch(paths)
+            return batch.astype(np.float32) / PIXEL_DEPTH
+    except (RuntimeError, OSError) as e:
+        print(f"native loader failed ({e}); falling back to PIL")
+    imgs = [np.asarray(Image.open(p), dtype=np.float32) / PIXEL_DEPTH
+            for p in paths]
+    return np.stack(imgs)
 
 
 def load_train_data(directory: str):
