@@ -35,6 +35,7 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--val", type=int, default=10)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--stride", type=int, default=12)
     p.add_argument("--angles", type=str, default="0,15,30,45,60,75,90")
     p.add_argument("--layers", type=int, default=6)
@@ -54,7 +55,7 @@ def main(argv=None):
         num_layers=args.layers, root_size=64, dilated_layers=args.dilated,
         patch_size=388, stride=args.stride, batch_size=args.batch,
         dropout=1.0, image_augmentation=True, rotation_angles=angles,
-        lr=0.01, momentum=0.9, num_epoch=args.epochs,
+        lr=args.lr, momentum=0.9, num_epoch=args.epochs,
         eval_every=0, train_score_every=0, remat=args.remat,
         save_path=args.save_path,
         logdir=os.path.join(args.save_path, "logs"),
