@@ -53,12 +53,15 @@ _VMEM_BLOCK_BUDGET = 2 * 1024 * 1024  # per input block, pre double-buffer
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dilation", "interpret", "row_tile"))
+                   static_argnames=("dilation", "interpret", "row_tile",
+                                    "relu"))
 def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
-                row_tile: int = 8):
-    """3x3 valid conv + bias. x: [N, H, W, Cin], k: [3, 3, Cin, Cout]
-    (same dtype as x), bias: [Cout] f32. Returns [N, H-2d, W-2d, Cout]
-    in x.dtype.
+                row_tile: int = 8, relu: bool = False):
+    """3x3 valid conv + bias (+ optionally fused ReLU). x: [N, H, W, Cin],
+    k: [3, 3, Cin, Cout] (same dtype as x), bias: [Cout] f32. Returns
+    [N, H-2d, W-2d, Cout] in x.dtype. The ReLU fuses into the kernel's
+    write-back — XLA cannot fuse elementwise ops into a custom call, so an
+    unfused ReLU would cost an extra HBM round trip.
 
     Strategy: keep Cin un-tiled whenever the x row-slab fits VMEM (true
     for every layer of the U-Net) — then each output block is written in a
@@ -97,6 +100,12 @@ def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
                 )
         return acc
 
+    def finish(acc, b_ref):
+        out = acc + b_ref[0].astype(jnp.float32)
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        return out
+
     cost = pl.CostEstimate(
         flops=2 * 9 * n * h_out * w_out * cin * cout,
         bytes_accessed=(2 * x.size + k.size) * itemsize
@@ -112,8 +121,7 @@ def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
             acc = taps_matmul(
                 rows, k_ref,
                 jnp.zeros((th, w_out, co_t), jnp.float32))
-            o_ref[0] = (acc + b_ref[0].astype(jnp.float32)
-                        ).astype(o_ref.dtype)
+            o_ref[0] = finish(acc, b_ref).astype(o_ref.dtype)
 
         return pl.pallas_call(
             kernel,
@@ -156,8 +164,7 @@ def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
 
         @pl.when(ci == num_ci - 1)
         def _():
-            o_ref[0] = (acc_ref[:] + b_ref[0].astype(jnp.float32)
-                        ).astype(o_ref.dtype)
+            o_ref[0] = finish(acc_ref[:], b_ref).astype(o_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -284,27 +291,32 @@ def conv3x3_dw(x, g, *, dilation: int = 1, interpret: bool = False,
 # ----------------------------------------------------------------------
 # public op with custom VJP
 # ----------------------------------------------------------------------
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def conv3x3_bias(x, k, bias, dilation: int = 1, interpret: bool = False):
-    """Fused 3x3 valid conv + bias with Pallas forward and backward.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv3x3_bias(x, k, bias, dilation: int = 1, interpret: bool = False,
+                 relu: bool = False):
+    """Fused 3x3 valid conv + bias (+ optional ReLU) with Pallas forward
+    and backward.
 
     x: [N, H, W, Cin]; k: [3, 3, Cin, Cout] float32 params (cast to x.dtype
     for the MXU); bias: [Cout] f32. Output [N, H-2d, W-2d, Cout], x.dtype.
     """
     return conv3x3_fwd(x, k.astype(x.dtype), bias, dilation=dilation,
-                       interpret=interpret)
+                       interpret=interpret, relu=relu)
 
 
-def _conv3x3_bias_fwd(x, k, bias, dilation, interpret):
+def _conv3x3_bias_fwd(x, k, bias, dilation, interpret, relu):
     out = conv3x3_fwd(x, k.astype(x.dtype), bias, dilation=dilation,
-                      interpret=interpret)
-    return out, (x, k)
+                      interpret=interpret, relu=relu)
+    return out, (x, k, out if relu else None)
 
 
-def _conv3x3_bias_bwd(dilation, interpret, res, g):
-    x, k = res
+def _conv3x3_bias_bwd(dilation, interpret, relu, res, g):
+    x, k, out = res
     d = dilation
     g = g.astype(x.dtype)
+    if relu:
+        # d(relu)/dz mask from the saved activation (out == 0 where clipped)
+        g = jnp.where(out > 0, g, jnp.zeros((), g.dtype))
     # dx: pad g by 2d, conv with spatially-flipped io-transposed kernel.
     g_pad = jnp.pad(g, ((0, 0), (2 * d, 2 * d), (2 * d, 2 * d), (0, 0)))
     k_flip = jnp.flip(k, axis=(0, 1)).transpose(0, 1, 3, 2)  # [3,3,Co,Ci]

@@ -82,8 +82,7 @@ class ConvBlock(nn.Module):
         for name in ("conv1", "conv2"):
             x = conv2d_valid(
                 self, x, self.features, name=name, dilation=self.dilation,
-                dtype=self.dtype, impl=self.conv_impl)
-            x = nn.relu(x)
+                dtype=self.dtype, impl=self.conv_impl, relu=True)
         return x
 
 

@@ -36,9 +36,9 @@ def _conv_params(module: nn.Module, name: str, kh: int, kw: int,
 
 def conv2d_valid(module: nn.Module, x, features: int, *, name: str,
                  dilation: int = 1, dtype: Any = jnp.bfloat16,
-                 impl: str = "xla"):
-    """3x3 valid-padding conv + bias. x: [B, H, W, Cin] -> [B, H', W', Cout]
-    with H' = H - 2*dilation."""
+                 impl: str = "xla", relu: bool = False):
+    """3x3 valid-padding conv + bias (+ optional fused ReLU).
+    x: [B, H, W, Cin] -> [B, H', W', Cout] with H' = H - 2*dilation."""
     kernel, bias = _conv_params(module, name, 3, 3, x.shape[-1], features)
     x = x.astype(dtype)
     k = kernel.astype(dtype)
@@ -53,7 +53,7 @@ def conv2d_valid(module: nn.Module, x, features: int, *, name: str,
         if on_tpu or interpret:
             from roadseg_tpu.kernels.conv3x3 import conv3x3_bias
             return conv3x3_bias(x, kernel, bias, dilation,
-                                interpret and not on_tpu)
+                                interpret and not on_tpu, relu)
     # Both operands in ``dtype`` and output in ``dtype`` (the MXU still
     # accumulates partials in float32 internally); a float32
     # ``preferred_element_type`` here would break the conv transpose rule
@@ -65,7 +65,8 @@ def conv2d_valid(module: nn.Module, x, features: int, *, name: str,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return (out + bias.astype(dtype)).astype(dtype)
+    out = (out + bias.astype(dtype)).astype(dtype)
+    return nn.relu(out) if relu else out
 
 
 def conv1x1(module: nn.Module, x, features: int, *, name: str,

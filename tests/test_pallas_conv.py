@@ -123,3 +123,28 @@ def test_unet_pallas_backend_matches_xla(monkeypatch):
         np.testing.assert_allclose(
             vp, vx, rtol=1e-3, atol=1e-3,
             err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_fused_relu_forward_and_grads(d):
+    x, k, b = make_inputs(1, 20, 24, 8, 8, seed=5)
+    h_out, w_out = 20 - 2 * d, 24 - 2 * d
+    rng = np.random.RandomState(6)
+    g = jnp.asarray(rng.randn(1, h_out, w_out, 8), jnp.float32)
+
+    def loss_pallas(x, k, b):
+        return jnp.sum(conv3x3_bias(x, k, b, d, True, True) * g)
+
+    def loss_xla(x, k, b):
+        return jnp.sum(jax.nn.relu(xla_conv(x, k, b, dilation=d)) * g)
+
+    got_out = conv3x3_bias(x, k, b, d, True, True)
+    want_out = jax.nn.relu(xla_conv(x, k, b, dilation=d))
+    np.testing.assert_allclose(got_out, want_out, rtol=1e-5, atol=1e-4)
+    assert float(got_out.min()) == 0.0  # relu actually clips
+
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, k, b)
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(x, k, b)
+    for gv, wv, name in zip(got, want, "x k b".split()):
+        np.testing.assert_allclose(gv, wv, rtol=1e-4, atol=1e-3,
+                                   err_msg=f"d{name}")
