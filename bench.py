@@ -38,6 +38,17 @@ def main():
     )
     eng = Engine(opts)
 
+    # Throughput doesn't depend on weight values, but restore a trained
+    # flagship checkpoint when one exists so the masks are real.
+    try:
+        import glob
+        ckpts = sorted(glob.glob(os.path.join("runs", "*",
+                                              "model-epoch-*.chkpt")))
+        if ckpts:
+            eng.restore(file=ckpts[-1])
+    except Exception as e:
+        print(f"(bench) checkpoint restore skipped: {e}")
+
     try:
         imgs = images_io.load(images_io.resolve_data_dir("test"))
         imgs = imgs[:num_images]
