@@ -45,7 +45,9 @@ def test_all_25_reference_flags_with_identical_defaults():
     opts = Options()
     for flag, want in REFERENCE_DEFAULTS.items():
         assert getattr(opts, flag) == want, flag
-    assert len(REFERENCE_DEFAULTS) == 30 - 5  # 25 flags
+    # 30 DEFINE_* calls at tf_aerial_images.py:15-46 (SURVEY §2.15 says
+    # "25" but the actual count is 30)
+    assert len(REFERENCE_DEFAULTS) == 30
 
 
 def test_parser_exposes_every_flag():
