@@ -1,4 +1,4 @@
-"""Configuration: the full 25-flag CLI surface of the reference, plus
+"""Configuration: the full 30-flag CLI surface of the reference, plus
 TPU-native extensions.
 
 The reference defines 25 ``tf.app.flags`` (``src/tf_aerial_images.py:15-46``)
@@ -95,7 +95,7 @@ def _str2bool(v) -> bool:
 
 
 def build_parser() -> argparse.ArgumentParser:
-    """Argparse parser exposing the reference's 25 flags + TPU extensions.
+    """Argparse parser exposing the reference's 30 flags + TPU extensions.
 
     Flag names, help strings and defaults match the table in the reference
     ``README.md:75-110``. Boolean flags accept both ``--flag`` and
