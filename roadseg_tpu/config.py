@@ -1,7 +1,7 @@
 """Configuration: the full 30-flag CLI surface of the reference, plus
 TPU-native extensions.
 
-The reference defines 25 ``tf.app.flags`` (``src/tf_aerial_images.py:15-46``)
+The reference defines 30 ``tf.app.flags`` (``src/tf_aerial_images.py:15-46``)
 snapshotted into a mutable ``Options`` object (``:51-84``). We reproduce the
 identical flag names, defaults and semantics with a dataclass + argparse, and
 add TPU-specific knobs (dtype, conv backend, mesh shape, remat) that default
