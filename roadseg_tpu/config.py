@@ -178,6 +178,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help='Device mesh spec, e.g. "data=4,model=2"')
     boolean("remat", d.remat, "Rematerialize encoder blocks in backward pass")
     boolean("profile", d.profile, "Profile the first training epoch")
+    p.add_argument("--preset", type=str, default=None,
+                   help="Named report preset (vanilla/kiwi/apple/guava/"
+                        "lime/mango); explicit flags override it")
     return p
 
 
@@ -185,4 +188,17 @@ def options_from_args(argv=None) -> Options:
     args = build_parser().parse_args(argv)
     kwargs = vars(args)
     kwargs["rotation_angles"] = parse_rotation_angles(kwargs["rotation_angles"])
+    preset_name = kwargs.pop("preset", None)
+    if preset_name:
+        from roadseg_tpu.presets import PRESETS
+        if preset_name not in PRESETS:
+            raise SystemExit(f"unknown --preset {preset_name!r}; "
+                             f"choose from {sorted(PRESETS)}")
+        defaults = dataclasses.asdict(Options())
+        merged = dict(PRESETS[preset_name])
+        for key, val in kwargs.items():
+            # explicit flags (≠ default) override the preset
+            if key not in merged or val != defaults.get(key):
+                merged[key] = val
+        kwargs = merged
     return Options(**kwargs)
