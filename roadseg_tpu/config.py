@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import sys
 from typing import List, Optional
 
 
@@ -194,11 +195,12 @@ def options_from_args(argv=None) -> Options:
         if preset_name not in PRESETS:
             raise SystemExit(f"unknown --preset {preset_name!r}; "
                              f"choose from {sorted(PRESETS)}")
-        defaults = dataclasses.asdict(Options())
+        argv_list = sys.argv[1:] if argv is None else list(argv)
+        explicit = {tok[2:].split("=")[0] for tok in argv_list
+                    if tok.startswith("--")}
         merged = dict(PRESETS[preset_name])
         for key, val in kwargs.items():
-            # explicit flags (≠ default) override the preset
-            if key not in merged or val != defaults.get(key):
+            if key not in merged or key in explicit:
                 merged[key] = val
         kwargs = merged
     return Options(**kwargs)
