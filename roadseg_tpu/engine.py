@@ -34,7 +34,7 @@ from __future__ import annotations
 import collections
 import functools
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ output 388 needs input 572 @5 layers, 764 @6 layers, 476 @4 layers.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

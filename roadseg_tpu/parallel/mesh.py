@@ -18,7 +18,6 @@ with ``NamedSharding`` — no hand-written communication on the XLA path.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

@@ -17,7 +17,6 @@ All share patch 388 / stride 12 / root 64 / lr 0.01 / momentum 0.9
 
 from __future__ import annotations
 
-import dataclasses
 
 from roadseg_tpu.config import Options
 

@@ -1,8 +1,6 @@
 """Engine tests: train/predict/checkpoint round trips on the 8-device
 CPU mesh (see conftest.py). Model shapes are tiny; semantics are real."""
 
-import os
-
 import jax
 import numpy as np
 import pytest

@@ -3,7 +3,6 @@ checkpoint -> restore -> predict -> submission CSV, through
 ``roadseg_tpu.main`` exactly as a user would run it."""
 
 import glob
-import os
 
 import numpy as np
 import pytest
