@@ -42,6 +42,11 @@ def main(argv=None):
     p.add_argument("--remat", action="store_true", default=True)
     p.add_argument("--no-remat", dest="remat", action="store_false")
     p.add_argument("--save_path", default=os.path.abspath("./runs"))
+    p.add_argument("--resume", default=None,
+                   help="experiment date dir to restore the newest epoch "
+                        "from before continuing")
+    p.add_argument("--start_epoch", type=int, default=0,
+                   help="first epoch number for logging/checkpoint names")
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (1 epoch, 1 angle, 20 imgs)")
     args = p.parse_args(argv)
@@ -61,6 +66,8 @@ def main(argv=None):
     )
     model = Engine(opts)
     print(f"model: {model.num_params:,} params, input {model.input_size}")
+    if args.resume:
+        model.restore(date=args.resume)
 
     data_root = images_io.resolve_data_dir()
     imgs, gt = images_io.load_train_data(os.path.join(data_root, "training"))
@@ -72,7 +79,7 @@ def main(argv=None):
     model.prepare_training_data(tr_imgs, tr_gt, rotation_angles=angles)
 
     results = []
-    for epoch in range(args.epochs):
+    for epoch in range(args.start_epoch, args.epochs):
         print(f"==== Train epoch: {epoch} ====")
         model.reset_scores()
         t0 = time.time()
