@@ -45,7 +45,7 @@ def main():
         ckpts = sorted(glob.glob(os.path.join("runs", "*",
                                               "model-epoch-*.chkpt")))
         if ckpts:
-            eng.restore(file=ckpts[-1])
+            eng.restore(file=os.path.abspath(ckpts[-1]))
     except Exception as e:
         print(f"(bench) checkpoint restore skipped: {e}")
 

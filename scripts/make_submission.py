@@ -45,6 +45,7 @@ def main(argv=None):
             print("no checkpoint found", file=sys.stderr)
             return 1
         ckpt = cands[-1]
+    ckpt = os.path.abspath(ckpt)  # orbax requires absolute paths
     out_dir = args.out or os.path.join(os.path.dirname(ckpt), "submission")
 
     opts = Options(num_layers=6, root_size=64, dilated_layers=True,
