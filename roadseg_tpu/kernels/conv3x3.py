@@ -220,51 +220,54 @@ def conv3x3_dw(x, g, *, dilation: int = 1, interpret: bool = False,
     num_xb = _cdiv(h, rh)
 
     def kernel(xa_ref, xb_ref, g_ref, dw_ref, acc_ref):
-        tap, step = pl.program_id(0), pl.program_id(3)
-        ky, kx = tap // 3, tap % 3
+        step = pl.program_id(2)
         rc = step % num_r
 
         @pl.when(step == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        # x rows [rc*rh + ky*d, rc*rh + ky*d + rh) stitched from two blocks
-        rows = jnp.concatenate([xa_ref[0], xb_ref[0, :2 * d]], axis=0)
-        x_slab = jax.lax.dynamic_slice(
-            rows, (ky * d, kx * d, 0), (rh, w_out, rows.shape[-1]))
-
-        # mask rows beyond h_out (last partial chunk); mask BOTH operands
+        # mask rows beyond h_out (last partial chunk); mask BOTH operands —
+        # OOB hardware reads are undefined and NaN * 0 = NaN
         valid = jnp.minimum(rh, h_out - rc * rh)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (rh, 1, 1), 0)
         g_slab = jnp.where(row_ids < valid, g_ref[0],
                            jnp.zeros((), g_ref.dtype))
-        x_slab = jnp.where(row_ids < valid, x_slab,
-                           jnp.zeros((), x_slab.dtype))
-        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-            x_slab, g_slab,
-            dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # one stitched x block serves all 9 statically-unrolled taps
+        rows = jnp.concatenate([xa_ref[0], xb_ref[0, :2 * d]], axis=0)
+        rows = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (rh + 2 * d, 1, 1), 0)
+            < valid + 2 * d, rows, jnp.zeros((), rows.dtype))
+        for ky in range(3):
+            for kx in range(3):
+                x_slab = rows[ky * d:ky * d + rh, kx * d:kx * d + w_out, :]
+                tap = ky * 3 + kx
+                acc_ref[tap] = acc_ref[tap] + jax.lax.dot_general(
+                    x_slab, g_slab,
+                    dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
         @pl.when(step == num_acc - 1)
         def _():
-            dw_ref[0, 0] = acc_ref[:]
+            dw_ref[:] = acc_ref[:]
 
-    def xa_index(tap, ci, co, step):
+    def xa_index(ci, co, step):
         b, rc = step // num_r, step % num_r
         return (b, rc, 0, ci)
 
-    def xb_index(tap, ci, co, step):
+    def xb_index(ci, co, step):
         b, rc = step // num_r, step % num_r
         return (b, jnp.minimum(rc + 1, num_xb - 1), 0, ci)
 
-    def g_index(tap, ci, co, step):
+    def g_index(ci, co, step):
         b, rc = step // num_r, step % num_r
         return (b, rc, 0, co)
 
-    return pl.pallas_call(
+    # dw reshaped [9, Cin, Cout] so the tap axis is a plain block dim
+    out = pl.pallas_call(
         kernel,
-        grid=(9, _cdiv(cin, ci_t), _cdiv(cout, co_t), num_acc),
+        grid=(_cdiv(cin, ci_t), _cdiv(cout, co_t), num_acc),
         in_specs=[
             pl.BlockSpec((1, rh, w, ci_t), xa_index,
                          memory_space=pltpu.VMEM),
@@ -274,18 +277,19 @@ def conv3x3_dw(x, g, *, dilation: int = 1, interpret: bool = False,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, ci_t, co_t),
-            lambda tap, ci, co, step: (tap // 3, tap % 3, ci, co),
+            (9, ci_t, co_t),
+            lambda ci, co, step: (0, ci, co),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, 3, cin, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((ci_t, co_t), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((9, ci_t, co_t), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * n * h_out * w_out * cin * cout,
-            bytes_accessed=9 * (2 * x.size + g.size) * x.dtype.itemsize,
+            bytes_accessed=(2 * x.size + g.size) * x.dtype.itemsize,
             transcendentals=0,
         ),
     )(x, x, g)
+    return out.reshape(3, 3, cin, cout)
 
 
 # ----------------------------------------------------------------------
