@@ -50,6 +50,7 @@ def _channel_tile(c: int) -> int:
 # forward
 # ----------------------------------------------------------------------
 _VMEM_BLOCK_BUDGET = 2 * 1024 * 1024  # per input block, pre double-buffer
+_MAX_MATMUL_ROWS = 2048  # Mosaic matmul row-count limit (empirical)
 
 
 @functools.partial(jax.jit,
@@ -88,17 +89,27 @@ def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
     num_th = _cdiv(h_out, th)
     num_xb = _cdiv(h, th)  # row blocks available in x
     bias2 = bias.reshape(1, cout)
+    # Mosaic's matmul lowering crashes when the non-contracted row count
+    # exceeds ~2k; chunk W so each per-tap dot stays under it.
+    wc = min(w_out, max(128, _MAX_MATMUL_ROWS // th))
 
     def taps_matmul(rows, k_ref, acc):
-        for ky in range(3):
-            for kx in range(3):
-                slab = rows[ky * d:ky * d + th, kx * d:kx * d + w_out, :]
-                acc = acc + jax.lax.dot_general(
-                    slab, k_ref[ky, kx],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        return acc
+        """acc: [th, w_out, co_t] f32 value; returns updated value."""
+        cols = []
+        for w0 in range(0, w_out, wc):
+            cw = min(wc, w_out - w0)
+            part = acc[:, w0:w0 + cw, :]
+            for ky in range(3):
+                for kx in range(3):
+                    slab = rows[ky * d:ky * d + th,
+                                kx * d + w0:kx * d + w0 + cw, :]
+                    part = part + jax.lax.dot_general(
+                        slab, k_ref[ky, kx],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            cols.append(part)
+        return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
 
     def finish(acc, b_ref):
         out = acc + b_ref[0].astype(jnp.float32)
@@ -218,6 +229,7 @@ def conv3x3_dw(x, g, *, dilation: int = 1, interpret: bool = False,
     num_r = _cdiv(h_out, rh)
     num_acc = n * num_r
     num_xb = _cdiv(h, rh)
+    wc = min(w_out, max(128, _MAX_MATMUL_ROWS // rh))
 
     def kernel(xa_ref, xb_ref, g_ref, dw_ref, acc_ref):
         step = pl.program_id(2)
@@ -238,15 +250,22 @@ def conv3x3_dw(x, g, *, dilation: int = 1, interpret: bool = False,
         rows = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (rh + 2 * d, 1, 1), 0)
             < valid + 2 * d, rows, jnp.zeros((), rows.dtype))
-        for ky in range(3):
-            for kx in range(3):
-                x_slab = rows[ky * d:ky * d + rh, kx * d:kx * d + w_out, :]
-                tap = ky * 3 + kx
-                acc_ref[tap] = acc_ref[tap] + jax.lax.dot_general(
-                    x_slab, g_slab,
-                    dimension_numbers=(((0, 1), (0, 1)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+        # 2-D operands (Mosaic's matmul contracts exactly one dim), chunked
+        # along W to bound the contraction extent
+        for w0 in range(0, w_out, wc):
+            cw = min(wc, w_out - w0)
+            g2 = g_slab[:, w0:w0 + cw, :].reshape(rh * cw, -1)
+            for ky in range(3):
+                for kx in range(3):
+                    x_slab = rows[ky * d:ky * d + rh,
+                                  kx * d + w0:kx * d + w0 + cw, :]
+                    x2 = x_slab.reshape(rh * cw, -1)
+                    tap = ky * 3 + kx
+                    acc_ref[tap] = acc_ref[tap] + jax.lax.dot_general(
+                        x2, g2,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
 
         @pl.when(step == num_acc - 1)
         def _():
