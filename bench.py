@@ -30,9 +30,13 @@ def main():
     from roadseg_tpu.engine import Engine
     from roadseg_tpu.utils import images_io
 
+    # batch_size=36 patches/chunk empirically maximizes MXU occupancy on
+    # v5e within HBM (54 crashes the remote compile helper; 27 is ~8%
+    # slower; 9 is ~60% slower).
     opts = Options(
         num_layers=6, root_size=64, dilated_layers=True,
-        patch_size=388, stride=110, batch_size=9,
+        patch_size=388, stride=110,
+        batch_size=int(os.environ.get("BENCH_CHUNK", "36")),
         ensemble_prediction=True, num_epoch=0,
         logdir="/tmp/roadseg_bench/logs", save_path="/tmp/roadseg_bench",
     )
