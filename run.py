@@ -51,12 +51,15 @@ SUBMISSION_CONFIG = dict(
     dropout=1.0,
 )
 TRAIN_CONFIG = dict(
-    num_epoch=12,            # winning checkpoint was epoch 11 (0-based)
-    batch_size=8,
+    # The recipe measured to reach the reference's Kaggle band on one v5e
+    # (PARITY.md): batch 4 with linearly-scaled lr (reference trained at
+    # batch 1 / lr 0.01 — README training command).
+    num_epoch=30,
+    batch_size=4,
     stride=12,
     image_augmentation=True,
     rotation_angles=[0, 15, 30, 45, 60, 75, 90],
-    lr=0.01,
+    lr=0.04,
     eval_every=0, train_score_every=0,
 )
 
