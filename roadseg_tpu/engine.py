@@ -407,11 +407,16 @@ class Engine:
 
     def predict_batchwise(self, imgs, pred_batch_size: int):
         """Chunk images by ``pred_batch_size`` to bound device memory
-        (``tf_aerial_images.py:330-341``)."""
-        masks = []
-        for i in range(int(np.ceil(imgs.shape[0] / pred_batch_size))):
-            chunk = imgs[i * pred_batch_size:(i + 1) * pred_batch_size]
-            masks.append(np.asarray(self.predict(chunk)))
+        (``tf_aerial_images.py:330-341``).
+
+        All chunk programs are dispatched asynchronously up front (device
+        work for chunk i+1 overlaps host fetch/assembly of chunk i); only
+        the final masks are pulled to the host.
+        """
+        outs = [self.predict(imgs[i * pred_batch_size:
+                                  (i + 1) * pred_batch_size])
+                for i in range(int(np.ceil(imgs.shape[0] / pred_batch_size)))]
+        masks = [np.asarray(o) for o in outs]
         return np.concatenate(masks, axis=0) if len(masks) > 1 else masks[0]
 
     # ------------------------------------------------------------------
