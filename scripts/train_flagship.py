@@ -74,8 +74,12 @@ def main(argv=None):
     if args.quick:
         imgs, gt = imgs[:20], gt[:20]
     n_val = min(args.val, imgs.shape[0] // 5)
-    tr_imgs, tr_gt = imgs[:-n_val], gt[:-n_val]
-    va_imgs, va_gt = imgs[-n_val:], gt[-n_val:]
+    if n_val > 0:
+        tr_imgs, tr_gt = imgs[:-n_val], gt[:-n_val]
+        va_imgs, va_gt = imgs[-n_val:], gt[-n_val:]
+    else:  # train on everything; val set = last 10 (training-set score)
+        tr_imgs, tr_gt = imgs, gt
+        va_imgs, va_gt = imgs[-10:], gt[-10:]
     model.prepare_training_data(tr_imgs, tr_gt, rotation_angles=angles)
 
     results = []
