@@ -45,6 +45,8 @@ def main(argv=None):
     p.add_argument("--resume", default=None,
                    help="experiment date dir to restore the newest epoch "
                         "from before continuing")
+    p.add_argument("--resume_epoch", type=int, default=None,
+                   help="specific epoch to restore (default newest)")
     p.add_argument("--start_epoch", type=int, default=0,
                    help="first epoch number for logging/checkpoint names")
     p.add_argument("--quick", action="store_true",
@@ -67,7 +69,7 @@ def main(argv=None):
     model = Engine(opts)
     print(f"model: {model.num_params:,} params, input {model.input_size}")
     if args.resume:
-        model.restore(date=args.resume)
+        model.restore(date=args.resume, epoch=args.resume_epoch)
 
     data_root = images_io.resolve_data_dir()
     imgs, gt = images_io.load_train_data(os.path.join(data_root, "training"))
