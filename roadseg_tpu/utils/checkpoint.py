@@ -55,7 +55,8 @@ class Checkpointer:
             return file
         if date is None:
             dates = [d for d in glob.glob(os.path.join(self.save_path, "*"))
-                     if os.path.isdir(d)]
+                     if os.path.isdir(d)
+                     and glob.glob(os.path.join(d, _EPOCH_GLOB))]
             if not dates:
                 raise FileNotFoundError(
                     f"no checkpoint directories under {self.save_path}")
@@ -76,3 +77,34 @@ class Checkpointer:
         state = self._ckpt.restore(path, template)
         print(f"Model restored from file: {path}")
         return state
+
+
+def average_states(states):
+    """Uniform weight averaging (SWA) over a list of train-state pytrees.
+
+    Beyond-parity extension: the reference selects a single epoch by Kaggle
+    score; averaging the params of several late-epoch checkpoints of one run
+    typically lands on a flatter minimum and scores higher. Float leaves of
+    ``state['params']`` are averaged in float64 then cast back; ``step`` and
+    ``opt_state`` are taken from the last state (by ``step``).
+    """
+    import numpy as np
+
+    if not states:
+        raise ValueError("need at least one state to average")
+    states = sorted(states, key=lambda s: int(np.asarray(s["step"])))
+    out = {k: states[-1][k] for k in states[-1]}
+
+    def mean_leaf(*leaves):
+        first = np.asarray(leaves[0])
+        if not np.issubdtype(first.dtype, np.floating):
+            return leaves[0]
+        acc = np.zeros(first.shape, np.float64)
+        for leaf in leaves:
+            acc += np.asarray(leaf, np.float64)
+        return (acc / len(leaves)).astype(first.dtype)
+
+    import jax
+    out["params"] = jax.tree.map(mean_leaf,
+                                 *[s["params"] for s in states])
+    return out

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Average the params of several flagship checkpoints (SWA) into a new
+checkpoint.
+
+Beyond-parity accuracy tool: the reference picks one epoch by Kaggle score
+(e.g. ``model-epoch-011.chkpt`` in its run.py); uniformly averaging several
+late-epoch checkpoints of the same run usually scores a bit higher at zero
+training cost.
+
+Usage:
+  python scripts/average_checkpoints.py --epochs 40-47 [--date DIR]
+                                        [--out_epoch 900]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from roadseg_tpu.config import Options
+from roadseg_tpu.engine import Engine
+from roadseg_tpu.utils.checkpoint import Checkpointer, average_states
+
+
+def parse_epochs(spec: str):
+    out = []
+    for part in spec.split(","):
+        if "-" in part:
+            lo, hi = part.split("-")
+            out.extend(range(int(lo), int(hi) + 1))
+        else:
+            out.append(int(part))
+    return sorted(set(out))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", required=True,
+                   help='e.g. "40-47" or "30,35,40"')
+    p.add_argument("--date", default=None,
+                   help="experiment dir name under --save_path "
+                        "(default: newest)")
+    p.add_argument("--save_path", default="runs")
+    p.add_argument("--out_epoch", type=int, default=900,
+                   help="epoch number for the averaged checkpoint")
+    p.add_argument("--layers", type=int, default=6)
+    p.add_argument("--dilated", type=lambda s: s != "0", default=True)
+    args = p.parse_args(argv)
+
+    save_path = os.path.abspath(args.save_path)
+    if args.date is None:
+        dates = sorted(d for d in glob.glob(os.path.join(save_path, "*"))
+                       if os.path.isdir(d) and
+                       glob.glob(os.path.join(d, "model-epoch-*.chkpt")))
+        if not dates:
+            print("no runs found", file=sys.stderr)
+            return 1
+        args.date = os.path.basename(dates[-1])
+
+    # template state for orbax restore (flagship geometry)
+    import jax
+    opts = Options(num_layers=args.layers, root_size=64,
+                   dilated_layers=args.dilated, patch_size=388,
+                   num_epoch=0, save_path=save_path,
+                   logdir=os.path.join(save_path, "logs"))
+    eng = Engine(opts)
+    template = jax.device_get(eng.state)
+
+    ckpt = Checkpointer(save_path, args.date)
+    epochs = parse_epochs(args.epochs)
+    states = []
+    for e in epochs:
+        path = ckpt.resolve(date=args.date, epoch=e)
+        if not os.path.isdir(path):
+            print(f"skipping missing {path}")
+            continue
+        states.append(ckpt.restore(template, file=path))
+    if not states:
+        print("no checkpoints restored", file=sys.stderr)
+        return 1
+
+    avg = average_states(states)
+    out = ckpt.save(avg, args.out_epoch)
+    print(f"averaged {len(states)} checkpoints {epochs} -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
