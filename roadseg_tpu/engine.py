@@ -72,6 +72,8 @@ class Engine:
 
     def __init__(self, options: Options, mesh=None,
                  experiment_name: Optional[str] = None):
+        from roadseg_tpu.utils.cache import enable_persistent_cache
+        enable_persistent_cache()
         self._options = options
         self.experiment_name = experiment_name or _experiment_name()
 
