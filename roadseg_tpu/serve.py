@@ -168,12 +168,13 @@ def serve(engine, host: str = "127.0.0.1", port: int = 8642,
     return httpd
 
 
-def main(argv=None):
-    import argparse
+def parse_cli(argv=None):
+    """Parse the full flag surface + serving knobs.
 
-    from roadseg_tpu.config import build_parser
+    Returns (Options, host, port, warmup_size)."""
+    from roadseg_tpu.config import (Options, build_parser,
+                                    parse_rotation_angles)
 
-    # reuse the full flag surface + serving knobs
     parser = build_parser()
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8642)
@@ -183,12 +184,15 @@ def main(argv=None):
     host, port, warmup = ns.host, ns.port, ns.warmup_size
     for extra in ("host", "port", "warmup_size"):
         delattr(ns, extra)
-    from roadseg_tpu.config import Options, parse_rotation_angles
     kwargs = vars(ns)
     kwargs["rotation_angles"] = parse_rotation_angles(
         kwargs.get("rotation_angles"))
     kwargs.pop("preset", None)
-    opts = Options(**kwargs)
+    return Options(**kwargs), host, port, warmup
+
+
+def main(argv=None):
+    opts, host, port, warmup = parse_cli(argv)
 
     from roadseg_tpu.engine import Engine
     engine = Engine(opts)

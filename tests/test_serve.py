@@ -77,6 +77,19 @@ def test_predict_quantized_is_binary_blocks(server):
     assert (blocks == blocks[:, :1, :, :1]).all()
 
 
+def test_parse_cli_flags():
+    from roadseg_tpu.serve import parse_cli
+    opts, host, port, warmup = parse_cli([
+        "--num_layers=6", "--dilated_layers", "--patch_size=388",
+        "--stride=110", "--ensemble_prediction", "--restore_model",
+        "--rotation_angles=0,45", "--host", "0.0.0.0", "--port", "9000",
+        "--warmup_size", "608"])
+    assert (host, port, warmup) == ("0.0.0.0", 9000, 608)
+    assert opts.num_layers == 6 and opts.dilated_layers
+    assert opts.ensemble_prediction and opts.restore_model
+    assert opts.rotation_angles == [0, 45]
+
+
 def test_bad_request_is_400(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(f"{server}/predict", b"garbage", "text/plain")
