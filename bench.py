@@ -37,6 +37,7 @@ def main():
         num_layers=6, root_size=64, dilated_layers=True,
         patch_size=388, stride=110,
         batch_size=int(os.environ.get("BENCH_CHUNK", "36")),
+        conv_impl=os.environ.get("BENCH_CONV_IMPL", "xla"),
         ensemble_prediction=True, num_epoch=0,
         logdir="/tmp/roadseg_bench/logs", save_path="/tmp/roadseg_bench",
     )

@@ -185,22 +185,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def apply_preset(kwargs: dict, preset_name: Optional[str], argv=None) -> dict:
+    """Merge a named preset under explicit CLI flags.
+
+    ``kwargs`` are the parsed flag values (without the ``preset`` key);
+    explicitly-passed flags (detected from ``argv``) override the preset,
+    preset values override defaults."""
+    if not preset_name:
+        return kwargs
+    from roadseg_tpu.presets import PRESETS
+    if preset_name not in PRESETS:
+        raise SystemExit(f"unknown --preset {preset_name!r}; "
+                         f"choose from {sorted(PRESETS)}")
+    argv_list = sys.argv[1:] if argv is None else list(argv)
+    explicit = {tok[2:].split("=")[0] for tok in argv_list
+                if tok.startswith("--")}
+    merged = dict(PRESETS[preset_name])
+    for key, val in kwargs.items():
+        if key not in merged or key in explicit:
+            merged[key] = val
+    return merged
+
+
 def options_from_args(argv=None) -> Options:
     args = build_parser().parse_args(argv)
     kwargs = vars(args)
     kwargs["rotation_angles"] = parse_rotation_angles(kwargs["rotation_angles"])
-    preset_name = kwargs.pop("preset", None)
-    if preset_name:
-        from roadseg_tpu.presets import PRESETS
-        if preset_name not in PRESETS:
-            raise SystemExit(f"unknown --preset {preset_name!r}; "
-                             f"choose from {sorted(PRESETS)}")
-        argv_list = sys.argv[1:] if argv is None else list(argv)
-        explicit = {tok[2:].split("=")[0] for tok in argv_list
-                    if tok.startswith("--")}
-        merged = dict(PRESETS[preset_name])
-        for key, val in kwargs.items():
-            if key not in merged or key in explicit:
-                merged[key] = val
-        kwargs = merged
+    kwargs = apply_preset(kwargs, kwargs.pop("preset", None), argv)
     return Options(**kwargs)

@@ -183,6 +183,7 @@ def train_patch_cnn(imgs, gt, *, epochs: int = 5, batch_size: int = 256,
         return optax.apply_updates(params, updates), opt_state, loss
 
     n = X.shape[0]
+    batch_size = min(batch_size, n)  # never a zero-step "training run"
     rs = np.random.RandomState(seed)
     for _ in range(epochs):
         order = rs.permutation(n)

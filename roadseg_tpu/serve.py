@@ -59,6 +59,10 @@ def _encode_masks(masks: np.ndarray, fmt: str) -> tuple[bytes, str]:
         buf = io.BytesIO()
         np.save(buf, masks)
         return buf.getvalue(), "application/x-npy"
+    if masks.shape[0] != 1:
+        raise ValueError(
+            f"PNG response supports a single image, got {masks.shape[0]}; "
+            "request Accept: application/x-npy for batches")
     from PIL import Image
     img = (np.clip(masks[0, ..., 0], 0, 1) * 255).round().astype(np.uint8)
     buf = io.BytesIO()
@@ -142,13 +146,24 @@ def make_handler(runner: ModelRunner):
                     fmt = "png"
                 elif "npy" in accept:
                     fmt = "npy"
+            except Exception as e:  # bad input -> client error
+                self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+                return
+            try:
                 q = parse_qs(url.query).get("quantize", ["0"])[0] == "1"
                 masks = runner.predict(imgs, quantize=q)
                 payload, ctype = _encode_masks(masks, fmt)
                 self._send(200, payload, ctype)
-            except Exception as e:  # noqa: BLE001 — serving boundary
+            except ValueError as e:  # shape/format problems = client error
                 self._send(400, json.dumps({"error": str(e)}).encode(),
                            "application/json")
+            except Exception:  # noqa: BLE001 — server fault, don't leak
+                import traceback
+                traceback.print_exc()
+                self._send(500, json.dumps(
+                    {"error": "internal error"}).encode(),
+                    "application/json")
 
     return Handler
 
@@ -172,7 +187,7 @@ def parse_cli(argv=None):
     """Parse the full flag surface + serving knobs.
 
     Returns (Options, host, port, warmup_size)."""
-    from roadseg_tpu.config import (Options, build_parser,
+    from roadseg_tpu.config import (Options, apply_preset, build_parser,
                                     parse_rotation_angles)
 
     parser = build_parser()
@@ -187,7 +202,7 @@ def parse_cli(argv=None):
     kwargs = vars(ns)
     kwargs["rotation_angles"] = parse_rotation_angles(
         kwargs.get("rotation_angles"))
-    kwargs.pop("preset", None)
+    kwargs = apply_preset(kwargs, kwargs.pop("preset", None), argv)
     return Options(**kwargs), host, port, warmup
 
 

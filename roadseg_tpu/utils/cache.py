@@ -16,24 +16,27 @@ from __future__ import annotations
 import os
 
 _enabled = False
+_cache_dir: str | None = None
 
 
 def enable_persistent_cache() -> str | None:
     """Idempotently point JAX's compilation cache at a persistent dir.
 
-    Returns the cache dir, or None when disabled/unsupported.
+    Returns the ACTIVE cache dir (the one configured on first call — JAX's
+    cache dir is process-global, so later env changes don't move it), or
+    None when disabled/unsupported.
     """
-    global _enabled
+    global _enabled, _cache_dir
     if os.environ.get("ROADSEG_NO_CACHE") == "1":
         return None
     import jax
 
+    if _enabled:
+        return _cache_dir
     cache_dir = os.environ.get(
         "ROADSEG_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "roadseg_tpu",
                      "xla"))
-    if _enabled:
-        return cache_dir
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -45,4 +48,5 @@ def enable_persistent_cache() -> str | None:
         print(f"persistent compilation cache unavailable: {e}")
         return None
     _enabled = True
+    _cache_dir = cache_dir
     return cache_dir

@@ -79,6 +79,20 @@ class Checkpointer:
         return state
 
 
+def parse_epoch_spec(spec: str) -> list[int]:
+    """``"40-42,45"`` -> [40, 41, 42, 45]. Reversed ranges are an error."""
+    out = set()
+    for part in spec.split(","):
+        if "-" in part:
+            lo, hi = (int(x) for x in part.split("-"))
+            if hi < lo:
+                raise ValueError(f"reversed epoch range {part!r}")
+            out.update(range(lo, hi + 1))
+        else:
+            out.add(int(part))
+    return sorted(out)
+
+
 def average_states(states):
     """Uniform weight averaging (SWA) over a list of train-state pytrees.
 
@@ -97,7 +111,10 @@ def average_states(states):
 
     def mean_leaf(*leaves):
         first = np.asarray(leaves[0])
-        if not np.issubdtype(first.dtype, np.floating):
+        # dtype.kind == "f" misses ml_dtypes (bfloat16 registers as "V");
+        # jnp.issubdtype knows both numpy and ml_dtypes float kinds.
+        import jax.numpy as jnp
+        if not jnp.issubdtype(first.dtype, jnp.floating):
             return leaves[0]
         acc = np.zeros(first.shape, np.float64)
         for leaf in leaves:

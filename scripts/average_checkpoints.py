@@ -15,26 +15,15 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from roadseg_tpu.config import Options
+from roadseg_tpu.config import Options, _str2bool
 from roadseg_tpu.engine import Engine
-from roadseg_tpu.utils.checkpoint import Checkpointer, average_states
-
-
-def parse_epochs(spec: str):
-    out = []
-    for part in spec.split(","):
-        if "-" in part:
-            lo, hi = part.split("-")
-            out.extend(range(int(lo), int(hi) + 1))
-        else:
-            out.append(int(part))
-    return sorted(set(out))
+from roadseg_tpu.utils.checkpoint import (Checkpointer, average_states,
+                                          parse_epoch_spec)
 
 
 def main(argv=None):
@@ -48,22 +37,24 @@ def main(argv=None):
     p.add_argument("--out_epoch", type=int, default=900,
                    help="epoch number for the averaged checkpoint")
     p.add_argument("--layers", type=int, default=6)
-    p.add_argument("--dilated", type=lambda s: s != "0", default=True)
+    p.add_argument("--root_size", type=int, default=64)
+    p.add_argument("--dilated", type=_str2bool, default=True)
     args = p.parse_args(argv)
 
     save_path = os.path.abspath(args.save_path)
     if args.date is None:
-        dates = sorted(d for d in glob.glob(os.path.join(save_path, "*"))
-                       if os.path.isdir(d) and
-                       glob.glob(os.path.join(d, "model-epoch-*.chkpt")))
-        if not dates:
+        # newest run dir that actually holds checkpoints (same rule as
+        # Checkpointer.resolve)
+        try:
+            args.date = os.path.basename(
+                os.path.dirname(Checkpointer(save_path, "").resolve()))
+        except FileNotFoundError:
             print("no runs found", file=sys.stderr)
             return 1
-        args.date = os.path.basename(dates[-1])
 
     # template state for orbax restore (flagship geometry)
     import jax
-    opts = Options(num_layers=args.layers, root_size=64,
+    opts = Options(num_layers=args.layers, root_size=args.root_size,
                    dilated_layers=args.dilated, patch_size=388,
                    num_epoch=0, save_path=save_path,
                    logdir=os.path.join(save_path, "logs"))
@@ -71,7 +62,7 @@ def main(argv=None):
     template = jax.device_get(eng.state)
 
     ckpt = Checkpointer(save_path, args.date)
-    epochs = parse_epochs(args.epochs)
+    epochs = parse_epoch_spec(args.epochs)
     states = []
     for e in epochs:
         path = ckpt.resolve(date=args.date, epoch=e)

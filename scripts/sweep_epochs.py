@@ -23,27 +23,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from roadseg_tpu.config import Options
+from roadseg_tpu.config import Options, _str2bool
 from roadseg_tpu.constants import FOREGROUND_THRESHOLD, IMG_PATCH_SIZE
 from roadseg_tpu.engine import Engine
 from roadseg_tpu.ops import geometry
 from roadseg_tpu.utils import images_io
+from roadseg_tpu.utils.checkpoint import parse_epoch_spec
 from roadseg_tpu.utils.scoring import compare_submissions
 
 REF_BEST = ("/root/reference/submissions/2017-12-17T10h55m14s_multi_rotation"
             "_stochastic_aug_6_layers_epoch_22_ensemble_dropout_1.0_94_124/"
             "submission.csv")
-
-
-def parse_epochs(spec: str):
-    out = []
-    for part in spec.split(","):
-        if "-" in part:
-            lo, hi = part.split("-")
-            out.extend(range(int(lo), int(hi) + 1))
-        else:
-            out.append(int(part))
-    return sorted(set(out))
 
 
 def main(argv=None):
@@ -56,7 +46,7 @@ def main(argv=None):
     # model geometry (defaults = flagship submission config)
     p.add_argument("--layers", type=int, default=6)
     p.add_argument("--root_size", type=int, default=64)
-    p.add_argument("--dilated", type=lambda s: s != "0", default=True)
+    p.add_argument("--dilated", type=_str2bool, default=True)
     p.add_argument("--patch_size", type=int, default=388)
     p.add_argument("--stride", type=int, default=110)
     p.add_argument("--chunk", type=int, default=36)
@@ -75,12 +65,19 @@ def main(argv=None):
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     results = []
-    for epoch in parse_epochs(args.epochs):
+    epochs = parse_epoch_spec(args.epochs)
+    for epoch in epochs:
         try:
             model.restore(date=args.date, epoch=epoch)
-        except (FileNotFoundError, ValueError) as e:
-            print(f"epoch {epoch}: skip ({e})")
+        except FileNotFoundError as e:
+            print(f"epoch {epoch}: skip, checkpoint missing ({e})")
             continue
+        except ValueError as e:
+            # orbax tree mismatch = wrong --layers/--root_size/--dilated
+            # for this run; every epoch would fail the same way
+            print(f"epoch {epoch}: restore failed — model geometry flags "
+                  f"do not match this run?\n{e}", file=sys.stderr)
+            return 1
         t0 = time.time()
         masks = model.predict_batchwise(imgs, args.pred_batch)
         q = np.asarray(geometry.quantize_mask(
@@ -97,7 +94,10 @@ def main(argv=None):
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
-    if results and "agreement" in results[0]:
+    if not results:
+        print(f"no checkpoints found for epochs {epochs}", file=sys.stderr)
+        return 1
+    if "agreement" in results[0]:
         best = max(results, key=lambda r: r.get("agreement", 0))
         print("best:", json.dumps(best))
     return 0

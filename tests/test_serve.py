@@ -77,6 +77,25 @@ def test_predict_quantized_is_binary_blocks(server):
     assert (blocks == blocks[:, :1, :, :1]).all()
 
 
+def test_png_accept_with_batch_is_400(server):
+    imgs = np.random.RandomState(5).rand(2, 48, 48, 3).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, imgs)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(f"{server}/predict", buf.getvalue(), "application/x-npy",
+              accept="image/png")
+    assert exc.value.code == 400
+    assert "single image" in json.loads(exc.value.read())["error"]
+
+
+def test_parse_cli_applies_preset():
+    from roadseg_tpu.serve import parse_cli
+    opts, _, _, _ = parse_cli(["--preset", "mango", "--port", "9000"])
+    # mango = the report's best config: 6-layer dilated, no dropout
+    assert opts.num_layers == 6 and opts.dilated_layers
+    assert opts.dropout == 1.0
+
+
 def test_parse_cli_flags():
     from roadseg_tpu.serve import parse_cli
     opts, host, port, warmup = parse_cli([

@@ -1,8 +1,9 @@
-"""Tests for checkpoint weight averaging (SWA)."""
+"""Tests for checkpoint weight averaging (SWA) and epoch-spec parsing."""
 
 import numpy as np
+import pytest
 
-from roadseg_tpu.utils.checkpoint import average_states
+from roadseg_tpu.utils.checkpoint import average_states, parse_epoch_spec
 
 
 def _state(step, scale):
@@ -42,6 +43,24 @@ def test_single_state_identity():
     avg = average_states([s])
     np.testing.assert_allclose(avg["params"]["dense"]["kernel"], 4.0)
     assert int(avg["step"]) == 5
+
+
+def test_average_states_handles_bfloat16():
+    import ml_dtypes
+    s1, s2 = _state(1, 1.0), _state(2, 3.0)
+    for s, v in ((s1, 1.0), (s2, 3.0)):
+        s["params"]["bf"] = np.full((4,), v, ml_dtypes.bfloat16)
+    avg = average_states([s1, s2])
+    assert avg["params"]["bf"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_allclose(avg["params"]["bf"].astype(np.float32), 2.0)
+
+
+def test_parse_epoch_spec():
+    assert parse_epoch_spec("40-42,45") == [40, 41, 42, 45]
+    assert parse_epoch_spec("7") == [7]
+    assert parse_epoch_spec("3,1,2-3") == [1, 2, 3]
+    with pytest.raises(ValueError):
+        parse_epoch_spec("47-40")
 
 
 def test_resolve_skips_dirs_without_checkpoints(tmp_path):
