@@ -32,6 +32,7 @@ TF-1 sessions:
 from __future__ import annotations
 
 import collections
+import contextlib
 import functools
 import time
 from typing import Optional
@@ -60,6 +61,50 @@ def _experiment_name() -> str:
     """Timestamped experiment name, same format as the reference
     (``tf_aerial_images.py:96``)."""
     return time.strftime("%Y-%m-%dT%Hh%Mm%Ss")
+
+
+# epoch number for mid-epoch interruption checkpoints (sorts after any
+# real epoch so newest-epoch restore resumes from it)
+_INTERRUPT_EPOCH = 999
+
+
+@contextlib.contextmanager
+def _graceful_interrupt():
+    """Catch SIGTERM/SIGINT during the hot loop; yields a ``flag()``.
+
+    Beyond-parity failure recovery (SURVEY.md §5.3 — the reference has
+    none): a preempted/cancelled training run checkpoints mid-epoch
+    instead of losing the epoch. Handlers are restored on exit; a second
+    signal falls through to the default behaviour so a wedged run can
+    still be killed. No-op off the main thread (Python restricts signal
+    handling to it).
+    """
+    import signal
+    import threading
+
+    hit = {"flag": False}
+    if threading.current_thread() is not threading.main_thread():
+        yield lambda: False
+        return
+
+    prev = {}
+
+    def handler(signum, frame):
+        hit["flag"] = True
+        # restore immediately: next signal acts normally
+        for sig, h in prev.items():
+            signal.signal(sig, h)
+        print(f"\nsignal {signum} received; finishing current step "
+              f"(repeat to force-kill)")
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        prev[sig] = signal.signal(sig, handler)
+    try:
+        yield lambda: hit["flag"]
+    finally:
+        for sig, h in prev.items():
+            if signal.getsignal(sig) is handler:
+                signal.signal(sig, h)
 
 
 class Engine:
@@ -277,8 +322,18 @@ class Engine:
         num_errors, total = 0.0, 0
         b = opts.batch_size
         # fixed-size batches, dropping the remainder (tf_aerial_images.py:232)
-        with profile_ctx:
+        with profile_ctx, _graceful_interrupt() as interrupted:
             for batch_i, off in enumerate(range(0, len(table) - b, b)):
+                if interrupted():
+                    # finish cleanly: drain, checkpoint, stop the epoch —
+                    # a preempted TPU run resumes from here with --resume
+                    print(f"\ninterrupted at step {self._global_step}; "
+                          f"saving checkpoint")
+                    while self._pending:
+                        num_errors, total = self._drain_one(num_errors,
+                                                            total)
+                    self.save(epoch=_INTERRUPT_EPOCH)
+                    break
                 batch_idx = table[indices[off:off + b]]
                 idx_dev = jax.device_put(jnp.asarray(batch_idx),
                                          self._data_sharding)
