@@ -12,6 +12,7 @@ optimizer trace + step), same directory layout and resolution order.
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 from typing import Any, Optional
 
@@ -20,6 +21,51 @@ import orbax.checkpoint as ocp
 MAX_TO_KEEP = 100
 _EPOCH_FMT = "model-epoch-{:03d}.chkpt"
 _EPOCH_GLOB = "model-epoch-*.chkpt"
+_MANIFEST = "SHA256SUMS"
+
+
+def _checkpoint_digests(path: str) -> dict[str, str]:
+    """SHA-256 of every file under an orbax checkpoint dir (relative paths)."""
+    out = {}
+    for root, _, files in os.walk(path):
+        for fn in sorted(files):
+            if fn == _MANIFEST:
+                continue
+            full = os.path.join(root, fn)
+            h = hashlib.sha256()
+            with open(full, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            out[os.path.relpath(full, path)] = h.hexdigest()
+    return out
+
+
+def write_manifest(path: str) -> str:
+    """Write a SHA256SUMS manifest into a checkpoint dir."""
+    manifest = os.path.join(path, _MANIFEST)
+    with open(manifest, "w") as f:
+        for rel, digest in _checkpoint_digests(path).items():
+            f.write(f"{digest}  {rel}\n")
+    return manifest
+
+
+def verify_manifest(path: str) -> bool | None:
+    """Check a checkpoint against its SHA256SUMS.
+
+    Returns True (ok), False (mismatch/missing files), or None when the
+    checkpoint has no manifest. Mirrors the reference run.py's non-fatal
+    model verification (``run.py:70-105``, ``:143-149``) — callers warn,
+    not crash.
+    """
+    manifest = os.path.join(path, _MANIFEST)
+    if not os.path.exists(manifest):
+        return None
+    want = {}
+    with open(manifest) as f:
+        for line in f:
+            digest, _, rel = line.strip().partition("  ")
+            want[rel] = digest
+    return want == _checkpoint_digests(path)
 
 
 class Checkpointer:
@@ -38,6 +84,7 @@ class Checkpointer:
         path = os.path.join(self.experiment_dir, _EPOCH_FMT.format(epoch))
         self._ckpt.save(path, state, force=True)
         self._ckpt.wait_until_finished()
+        write_manifest(path)
         self._saved.append(path)
         if len(self._saved) > MAX_TO_KEEP:
             import shutil
@@ -72,8 +119,17 @@ class Checkpointer:
 
     def restore(self, template: Any, date: Optional[str] = None,
                 epoch: Optional[int] = None, file: Optional[str] = None):
-        """Restore a pytree shaped like ``template`` (abstract or concrete)."""
+        """Restore a pytree shaped like ``template`` (abstract or concrete).
+
+        Integrity is checked against the checkpoint's SHA256SUMS manifest
+        when present — non-fatally, like the reference's model verification
+        (``run.py:143-149``)."""
         path = self.resolve(date=date, epoch=epoch, file=file)
+        ok = verify_manifest(path)
+        if ok is False:
+            print(f"WARNING: checkpoint {path} does not match its "
+                  f"SHA256SUMS manifest (corrupted or modified?); "
+                  f"continuing anyway")
         state = self._ckpt.restore(path, template)
         print(f"Model restored from file: {path}")
         return state
