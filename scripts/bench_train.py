@@ -57,12 +57,15 @@ def run_variant(name: str, batch: int, steps: int, *, remat: bool,
     key = jax.random.PRNGKey(0)
     state = eng.state
     # warmup/compile
-    state, _ = step_fn(state, eng._ext_imgs, eng._ext_gt, idx_dev, key)
-    jax.block_until_ready(state["params"])
+    state, m = step_fn(state, eng._ext_imgs, eng._ext_gt, idx_dev, key)
+    float(jax.device_get(m["loss"]))
+    # NOTE: sync each step via a device->host fetch of the loss —
+    # block_until_ready does NOT actually block on the axon tunnel
+    # backend, so dispatch-only timing would be fiction.
     t0 = time.time()
     for _ in range(steps):
         state, m = step_fn(state, eng._ext_imgs, eng._ext_gt, idx_dev, key)
-    jax.block_until_ready(state["params"])
+        float(jax.device_get(m["loss"]))
     dt = (time.time() - t0) / steps
     out = {
         "variant": name, "batch": batch, "remat": remat,
