@@ -23,7 +23,7 @@ BASELINE_IMGS_PER_SEC = 1.0 / 6.0
 
 
 def main():
-    num_images = int(os.environ.get("BENCH_IMAGES", "10"))
+    num_images = int(os.environ.get("BENCH_IMAGES", "20"))
     pred_chunk = int(os.environ.get("BENCH_PRED_BATCH", "2"))
 
     from roadseg_tpu.config import Options

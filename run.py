@@ -51,15 +51,17 @@ SUBMISSION_CONFIG = dict(
     dropout=1.0,
 )
 TRAIN_CONFIG = dict(
-    # The recipe measured to reach the reference's Kaggle band on one v5e
-    # (PARITY.md): batch 4 with linearly-scaled lr (reference trained at
-    # batch 1 / lr 0.01 — README training command).
+    # The fast recipe validated to reach the reference's Kaggle band on one
+    # v5e (PARITY.md round-1 study): batch 8 + linearly-scaled lr, no remat
+    # (batch 4 is dispatch-bound — batch 8 halves wall-clock at identical
+    # sweep quality, 0.9652 vs 0.9651 winner agreement). ~93 s/epoch.
     num_epoch=30,
-    batch_size=4,
+    batch_size=8,
     stride=12,
     image_augmentation=True,
     rotation_angles=[0, 15, 30, 45, 60, 75, 90],
-    lr=0.04,
+    lr=0.08,
+    remat=False,
     eval_every=0, train_score_every=0,
 )
 

@@ -31,15 +31,17 @@ from roadseg_tpu.utils.summary import patch_scores
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=12)
+    # defaults = the validated fast recipe (PARITY.md: batch 8 no-remat,
+    # lr linearly scaled from the reference's batch-1 lr 0.01)
+    p.add_argument("--epochs", type=int, default=48)
     p.add_argument("--val", type=int, default=10)
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--lr", type=float, default=0.08)
     p.add_argument("--stride", type=int, default=12)
     p.add_argument("--angles", type=str, default="0,15,30,45,60,75,90")
     p.add_argument("--layers", type=int, default=6)
     p.add_argument("--dilated", type=lambda s: s != "0", default=True)
-    p.add_argument("--remat", action="store_true", default=True)
+    p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--no-remat", dest="remat", action="store_false")
     p.add_argument("--save_path", default=os.path.abspath("./runs"))
     p.add_argument("--resume", default=None,
