@@ -69,6 +69,11 @@ class Options:
     # Device mesh spec, e.g. "data=8" or "data=4,model=2". Empty = 1-D data
     # mesh over all visible devices.
     mesh: str = ""
+    # LR staircase transition length in optimizer steps (reference:
+    # lr*0.95^(step/1000) at batch 1, tf_aerial_images.py:112-122). Set to
+    # 1000//batch_size to match the reference's lr-vs-samples curve when
+    # training at batch >1.
+    decay_steps: int = 1000
     # Rematerialize encoder blocks in the backward pass to trade FLOPs for HBM.
     remat: bool = False
     # Emit a jax.profiler trace (TensorBoard-loadable) of the first epoch.
@@ -177,6 +182,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("xla", "pallas"), help="Convolution backend")
     p.add_argument("--mesh", type=str, default=d.mesh,
                    help='Device mesh spec, e.g. "data=4,model=2"')
+    p.add_argument("--decay_steps", type=int, default=d.decay_steps,
+                   help="LR staircase transition length in optimizer steps "
+                        "(1000//batch_size = reference batch-1 anneal)")
     boolean("remat", d.remat, "Rematerialize encoder blocks in backward pass")
     boolean("profile", d.profile, "Profile the first training epoch")
     p.add_argument("--preset", type=str, default=None,

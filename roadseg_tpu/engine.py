@@ -149,8 +149,10 @@ class Engine:
         self._param_shardings = mesh_lib.param_shardings(params, self.mesh)
         params = jax.device_put(params, self._param_shardings)
 
-        self._tx = make_optimizer(options.lr, options.momentum)
-        self._schedule = learning_rate_schedule(options.lr)
+        self._tx = make_optimizer(options.lr, options.momentum,
+                                  decay_steps=options.decay_steps)
+        self._schedule = learning_rate_schedule(
+            options.lr, transition_steps=options.decay_steps)
         opt_state = self._tx.init(params)
         # opt_state (momentum trace) mirrors the param tree -> same shardings.
         opt_state = jax.device_put(opt_state,

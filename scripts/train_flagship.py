@@ -33,14 +33,20 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     # defaults = the validated fast recipe (PARITY.md: batch 8 no-remat,
     # lr linearly scaled from the reference's batch-1 lr 0.01)
-    p.add_argument("--epochs", type=int, default=48)
+    p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--val", type=int, default=10)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=0.08)
     p.add_argument("--stride", type=int, default=12)
-    p.add_argument("--angles", type=str, default="0,15,30,45,60,75,90")
+    # the reference's published training recipe (README.md:55-70):
+    # rotation_angles 15,30,45,60,75 — no unrotated originals
+    p.add_argument("--angles", type=str, default="15,30,45,60,75")
     p.add_argument("--layers", type=int, default=6)
     p.add_argument("--dilated", type=lambda s: s != "0", default=True)
+    p.add_argument("--dropout", type=float, default=1.0)
+    p.add_argument("--decay_steps", type=int, default=None,
+                   help="LR staircase length in steps; default "
+                        "1000//batch = the reference's batch-1 anneal")
     p.add_argument("--remat", action="store_true", default=False)
     p.add_argument("--no-remat", dest="remat", action="store_false")
     p.add_argument("--save_path", default=os.path.abspath("./runs"))
@@ -59,11 +65,15 @@ def main(argv=None):
     if args.quick:
         args.epochs, angles = 1, [0]
 
+    decay_steps = args.decay_steps
+    if decay_steps is None:
+        decay_steps = max(1, 1000 // args.batch)
     opts = Options(
         num_layers=args.layers, root_size=64, dilated_layers=args.dilated,
         patch_size=388, stride=args.stride, batch_size=args.batch,
-        dropout=1.0, image_augmentation=True, rotation_angles=angles,
+        dropout=args.dropout, image_augmentation=True, rotation_angles=angles,
         lr=args.lr, momentum=0.9, num_epoch=args.epochs,
+        decay_steps=decay_steps,
         eval_every=0, train_score_every=0, remat=args.remat,
         save_path=args.save_path,
         logdir=os.path.join(args.save_path, "logs"),
