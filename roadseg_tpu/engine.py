@@ -34,6 +34,7 @@ from __future__ import annotations
 import collections
 import contextlib
 import functools
+import os
 import time
 from typing import Optional
 
@@ -51,6 +52,7 @@ from roadseg_tpu.ops import geometry, rotate
 from roadseg_tpu.parallel import mesh as mesh_lib
 from roadseg_tpu.train.optim import learning_rate_schedule, make_optimizer
 from roadseg_tpu.utils import images_io
+from roadseg_tpu.utils import checkpoint
 from roadseg_tpu.utils.checkpoint import Checkpointer
 from roadseg_tpu.utils.summary import Summary
 
@@ -305,6 +307,10 @@ class Engine:
         and groundtruth, used only for the periodic in-training evaluation
         (``tf_aerial_images.py:254-267``). Call ``prepare_training_data``
         first.
+
+        Returns ``True`` if the epoch was cut short by SIGTERM/SIGINT
+        (an interrupt checkpoint was written) — callers must stop their
+        epoch loop and skip the regular per-epoch save.
         """
         opts = self._options
         if self._index_table is None:
@@ -322,11 +328,13 @@ class Engine:
                             enabled=opts.profile and self._global_step == 0)
 
         num_errors, total = 0.0, 0
+        was_interrupted = False
         b = opts.batch_size
         # fixed-size batches, dropping the remainder (tf_aerial_images.py:232)
         with profile_ctx, _graceful_interrupt() as interrupted:
             for batch_i, off in enumerate(range(0, len(table) - b, b)):
                 if interrupted():
+                    was_interrupted = True
                     # finish cleanly: drain, checkpoint, stop the epoch —
                     # a preempted TPU run resumes from here with --resume
                     print(f"\ninterrupted at step {self._global_step}; "
@@ -370,6 +378,7 @@ class Engine:
         self._summary.add_scalars(
             {"steps_per_sec": timer.steps_per_sec}, self._global_step)
         self._summary.flush()
+        return was_interrupted
 
     def _drain_one(self, num_errors, total):
         step, metrics, bsz = self._pending.popleft()
@@ -407,13 +416,19 @@ class Engine:
     # inference
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=8)
-    def _predict_fn(self, num_images: int, image_size: int, ensemble: bool):
-        """Jitted end-to-end mask prediction for a fixed (N, H) shape."""
+    def _predict_fn(self, num_images: int, image_size: int, ensemble: bool,
+                    stride: int, chunk: int):
+        """Jitted end-to-end mask prediction for a fixed (N, H) shape.
+
+        Every Options field the traced program bakes in (stride, chunk =
+        batch size) is part of the cache key — mutating ``opts.stride``
+        between predicts (as ``run.py --train`` does, 12→110) retraces
+        instead of silently reusing a stale program.
+        """
         opts = self._options
         model = self.model
-        in_size, ps, stride = self.input_size, opts.patch_size, opts.stride
+        in_size, ps = self.input_size, opts.patch_size
         offset = self.offset
-        chunk = max(opts.batch_size, 1)
         data_sharding = self._data_sharding
 
         n_eff = num_images * (augment_ops.ENSEMBLE_SIZE if ensemble else 1)
@@ -461,7 +476,8 @@ class Engine:
         opts = self._options
         imgs = jnp.asarray(imgs, jnp.float32)
         n, h = imgs.shape[0], imgs.shape[1]
-        fn = self._predict_fn(n, h, bool(opts.ensemble_prediction))
+        fn = self._predict_fn(n, h, bool(opts.ensemble_prediction),
+                              int(opts.stride), max(int(opts.batch_size), 1))
         return fn(self.state["params"], imgs)
 
     def predict_batchwise(self, imgs, pred_batch_size: int):
@@ -486,8 +502,15 @@ class Engine:
 
     def restore(self, date=None, epoch=None, file=None):
         template = jax.device_get(self.state)
-        state = self._checkpointer.restore(template, date=date, epoch=epoch,
-                                           file=file)
+        path = self._checkpointer.resolve(date=date, epoch=epoch, file=file)
+        state = self._checkpointer.restore(template, file=path)
+        if checkpoint.is_sentinel(path):
+            # resuming an interrupted run: continue saving into the same
+            # experiment dir so the next completed-epoch save replaces the
+            # mid-epoch sentinel (otherwise newest-epoch resolution could
+            # later restore stale mid-epoch weights)
+            self.experiment_name = os.path.basename(os.path.dirname(path))
+            self._checkpointer.experiment_name = self.experiment_name
         self.state = {
             "step": jax.device_put(jnp.asarray(state["step"]),
                                    self._replicated),

@@ -50,7 +50,11 @@ def run(opts: Options) -> Engine:
         for i in range(opts.num_epoch):
             print(f"==== Train epoch: {i} ====")
             model.reset_scores()
-            model.train(train_images, train_groundtruth)
+            if model.train(train_images, train_groundtruth):
+                # SIGTERM/SIGINT: the interrupt checkpoint is already
+                # written; stop the run instead of saving a partial epoch
+                print("training interrupted; stopping")
+                return 0
             model.save(i)
 
     # -- eval on training data (tf_aerial_images.py:432-445) -----------

@@ -54,7 +54,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _kernel_spec(path_leaf: str, shape, model_size: int) -> P:
+def _kernel_spec(shape, model_size: int) -> P:
     """Tensor-parallel spec for one param tensor.
 
     Conv kernels are HWIO; shard O (last axis) over ``model`` when cleanly
@@ -75,13 +75,12 @@ def param_shardings(params, mesh: Mesh):
     """
     model_size = mesh.shape.get("model", 1)
 
-    def spec_for(path, leaf):
+    def spec_for(leaf):
         if model_size == 1:
             return NamedSharding(mesh, P())
-        name = "/".join(str(getattr(k, "key", k)) for k in path)
-        return NamedSharding(mesh, _kernel_spec(name, leaf.shape, model_size))
+        return NamedSharding(mesh, _kernel_spec(leaf.shape, model_size))
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    return jax.tree.map(spec_for, params)
 
 
 def shard_params(params, mesh: Mesh):

@@ -43,13 +43,22 @@ def _decode_body(body: bytes, content_type: str) -> tuple[np.ndarray, str]:
         return img[None], "png"
     if body[:6] == b"\x93NUMPY" or "npy" in content_type:
         arr = np.load(io.BytesIO(body), allow_pickle=False)
+        is_uint8 = arr.dtype == np.uint8
         arr = np.asarray(arr, np.float32)
         if arr.ndim == 3:
             arr = arr[None]
         if arr.ndim != 4 or arr.shape[-1] != 3:
             raise ValueError(f"expected [N, H, W, 3], got {arr.shape}")
-        if arr.max() > 1.5:  # uint8-range floats
+        # only integer pixel data is rescaled; float inputs must already be
+        # normalized — guessing from the value range would silently corrupt
+        # legitimately pre-normalized data
+        if is_uint8:
             arr = arr / 255.0
+        elif arr.min() < 0.0 or arr.max() > 1.0:
+            raise ValueError(
+                "float npy input must be normalized to [0, 1] "
+                f"(got range [{arr.min():.3g}, {arr.max():.3g}]); "
+                "send uint8 for 0-255 pixel data")
         return arr, "npy"
     raise ValueError(f"unsupported content type {content_type!r}")
 

@@ -22,6 +22,20 @@ MAX_TO_KEEP = 100
 _EPOCH_FMT = "model-epoch-{:03d}.chkpt"
 _EPOCH_GLOB = "model-epoch-*.chkpt"
 _MANIFEST = "SHA256SUMS"
+# epochs >= this are sentinels (interrupt checkpoints), not real epochs
+_SENTINEL_EPOCH = 900
+
+
+def _epoch_of(path: str) -> int:
+    return int(os.path.basename(path)[len("model-epoch-"):-len(".chkpt")])
+
+
+def is_sentinel(path: str) -> bool:
+    """True for interrupt checkpoints (``model-epoch-999.chkpt``)."""
+    try:
+        return _epoch_of(path) >= _SENTINEL_EPOCH
+    except ValueError:
+        return False
 
 
 def _checkpoint_digests(path: str) -> dict[str, str]:
@@ -73,23 +87,38 @@ class Checkpointer:
         self.save_path = os.path.abspath(save_path)
         self.experiment_name = experiment_name
         self._ckpt = ocp.StandardCheckpointer()
-        self._saved: list[str] = []
 
     @property
     def experiment_dir(self) -> str:
         return os.path.join(self.save_path, self.experiment_name)
 
     def save(self, state: Any, epoch: int = 0) -> str:
-        """Save train-state pytree as ``<experiment>/model-epoch-NNN.chkpt``."""
+        """Save train-state pytree as ``<experiment>/model-epoch-NNN.chkpt``.
+
+        A successful *regular* save (epoch < 900) deletes any stale
+        interrupt sentinel (epoch-999) so newest-epoch resolution never
+        restores mid-epoch weights from before a completed epoch, and
+        prunes the oldest regular checkpoints past ``MAX_TO_KEEP`` by
+        scanning the directory (so pruning also works across resumed
+        processes, matching TF Saver's max_to_keep semantics)."""
+        import shutil
         path = os.path.join(self.experiment_dir, _EPOCH_FMT.format(epoch))
         self._ckpt.save(path, state, force=True)
         self._ckpt.wait_until_finished()
         write_manifest(path)
-        self._saved.append(path)
-        if len(self._saved) > MAX_TO_KEEP:
-            import shutil
-            victim = self._saved.pop(0)
-            shutil.rmtree(victim, ignore_errors=True)
+        if epoch < _SENTINEL_EPOCH:
+            sentinels = [
+                p for p in glob.glob(
+                    os.path.join(self.experiment_dir, _EPOCH_GLOB))
+                if _epoch_of(p) >= _SENTINEL_EPOCH]
+            for stale in sentinels:
+                shutil.rmtree(stale, ignore_errors=True)
+            kept = sorted(
+                p for p in glob.glob(
+                    os.path.join(self.experiment_dir, _EPOCH_GLOB))
+                if _epoch_of(p) < _SENTINEL_EPOCH)
+            while len(kept) > MAX_TO_KEEP:
+                shutil.rmtree(kept.pop(0), ignore_errors=True)
         print(f"Model saved in file: {path}")
         return path
 
@@ -171,7 +200,7 @@ def average_states(states):
         # jnp.issubdtype knows both numpy and ml_dtypes float kinds.
         import jax.numpy as jnp
         if not jnp.issubdtype(first.dtype, jnp.floating):
-            return leaves[0]
+            return leaves[-1]  # non-averaged leaves come from the newest state
         acc = np.zeros(first.shape, np.float64)
         for leaf in leaves:
             acc += np.asarray(leaf, np.float64)

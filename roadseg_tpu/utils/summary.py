@@ -115,7 +115,12 @@ class _JsonlWriter:
             "value": float(value), "step": int(global_step or 0)}) + "\n")
 
     def add_image(self, tag, img, global_step=None, dataformats="HWC"):
-        pass  # images are also dumped as PNGs by the engine paths
+        # no image payloads in the JSONL stream; record that one was
+        # dropped so the fallback is never a *silent* no-op (the engine
+        # paths also dump the same images as PNGs)
+        self._f.write(json.dumps({
+            "wall_time": time.time(), "tag": tag, "dropped_image": True,
+            "step": int(global_step or 0)}) + "\n")
 
     def flush(self):
         self._f.flush()

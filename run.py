@@ -103,7 +103,10 @@ def main(argv=None):
         for i in range(opts.num_epoch):
             print(f"==== Train epoch: {i} ====")
             model.reset_scores()
-            model.train(imgs, gt)
+            if model.train(imgs, gt):
+                print("training interrupted; stopping (resume with the "
+                      "epoch-999 checkpoint)")
+                return 1
             model.save(i)
         opts.num_epoch = 0
         opts.batch_size = SUBMISSION_CONFIG["batch_size"]

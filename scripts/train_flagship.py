@@ -101,7 +101,10 @@ def main(argv=None):
         print(f"==== Train epoch: {epoch} ====")
         model.reset_scores()
         t0 = time.time()
-        model.train(tr_imgs, tr_gt)
+        if model.train(tr_imgs, tr_gt):
+            print("training interrupted; stopping (resume with --resume "
+                  f"{model.experiment_name})")
+            return 1
         train_s = time.time() - t0
 
         t0 = time.time()

@@ -127,3 +127,121 @@ def test_tensor_parallel_mesh_matches_data_parallel(tmp_path, data):
     m_dp = np.asarray(eng_dp.predict(imgs[:2]))
     m_tp = np.asarray(eng_tp.predict(imgs[:2]))
     np.testing.assert_allclose(m_dp, m_tp, atol=5e-3)
+
+
+class _RecordingWriter:
+    """Fake summary writer capturing scalar/image events."""
+
+    def __init__(self):
+        self.scalars = []
+        self.images = []
+
+    def add_scalar(self, tag, value, global_step=None):
+        self.scalars.append((tag, float(value), global_step))
+
+    def add_image(self, tag, img, global_step=None, dataformats="HWC"):
+        self.images.append((tag, global_step))
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
+def test_in_training_eval_and_score_hooks(tmp_path, data):
+    """The periodic eval/train-score hooks (tf_aerial_images.py:254-267)
+    must emit eval scalars + images and train-score scalars mid-epoch,
+    and reset_scores must clear the streaming counters per epoch."""
+    rng = np.random.RandomState(1)
+    imgs = rng.rand(4, 64, 64, 3).astype(np.float32)
+    gt = (rng.rand(4, 64, 64) > 0.5).astype(np.float32)
+    opts = tiny_opts(tmp_path, patch_size=32, stride=16, batch_size=8,
+                     eval_every=2, train_score_every=4, num_eval_images=2)
+    eng = Engine(opts)
+    writer = _RecordingWriter()
+    eng._summary._writer = writer
+    eng.prepare_training_data(imgs, gt, rotation_angles=[0])
+    # 4 imgs x 3x3 grid = 36 patches -> floor((36-8)/8)+1 = 4 steps
+    eng.train(imgs, gt)
+
+    scalar_tags = {t for t, _, _ in writer.scalars}
+    assert any(t.startswith("eval f1") for t in scalar_tags), scalar_tags
+    assert any(t.startswith("eval accuracy") for t in scalar_tags)
+    assert any(t.startswith("train f1") for t in scalar_tags)
+    image_tags = {t for t, _ in writer.images}
+    assert any(t.startswith("eval_masks/") for t in image_tags), image_tags
+    assert any(t.startswith("eval_images/") for t in image_tags)
+    assert any(t.startswith("groundtruth_vs_prediction/") for t in image_tags)
+    # eval hook fired at steps 2 and 4; train-score hook at step 4
+    eval_steps = sorted({s for t, _, s in writer.scalars
+                         if t.startswith("eval f1")})
+    assert eval_steps == [2, 4]
+    assert eng._summary.eval_scores.tp + eng._summary.eval_scores.tn > 0
+    eng.reset_scores()
+    s = eng._summary.eval_scores
+    assert (s.tp, s.fp, s.fn, s.tn) == (0, 0, 0, 0)
+    s = eng._summary.train_scores
+    assert (s.tp, s.fp, s.fn, s.tn) == (0, 0, 0, 0)
+
+
+def test_predict_retraces_after_options_mutation(tmp_path, data):
+    """Mutating opts.stride/batch_size between predicts must retrace, not
+    silently reuse a stale program (run.py --train mutates stride 12->110)."""
+    imgs, _ = data
+    Engine._predict_fn.cache_clear()  # the lru_cache is class-level
+    opts = tiny_opts(tmp_path, patch_size=36, stride=16, batch_size=8)
+    eng = Engine(opts)
+    m_16 = np.asarray(eng.predict(imgs[:2]))
+
+    eng._options.stride = 32  # (100-36)%32=0: valid tiling
+    eng._options.batch_size = 4
+    m_32 = np.asarray(eng.predict(imgs[:2]))
+
+    # oracle: a fresh engine traced directly at stride 32
+    eng2 = Engine(tiny_opts(tmp_path, patch_size=36, stride=32, batch_size=4))
+    expect = np.asarray(eng2.predict(imgs[:2]))
+    np.testing.assert_allclose(m_32, expect, atol=1e-6)
+    # a second program was traced for the new (stride, chunk) — the old
+    # cache keyed only (n, h, ensemble) and would silently reuse the
+    # stride-16 program (masks are stride-invariant for valid convs, but
+    # the patch grid / compute cost is not). 3 entries: eng@16, eng@32,
+    # eng2@32 (the cache key includes self).
+    assert Engine._predict_fn.cache_info().currsize == 3
+
+    # mutating back re-uses the original cached program correctly
+    eng._options.stride = 16
+    eng._options.batch_size = 8
+    np.testing.assert_allclose(np.asarray(eng.predict(imgs[:2])), m_16,
+                               atol=1e-6)
+    assert Engine._predict_fn.cache_info().currsize == 3
+
+
+def test_sharded_training_matches_single_device(tmp_path, data):
+    """End-to-end gradient-psum correctness: a data=8 sharded run follows
+    the same loss trajectory as a single-device run with the same seed."""
+    from roadseg_tpu.parallel.mesh import make_mesh
+    imgs, gt = data
+
+    def run(mesh):
+        opts = tiny_opts(tmp_path, lr=0.05, batch_size=8)
+        eng = Engine(opts, mesh=mesh)
+        eng.prepare_training_data(imgs, gt, rotation_angles=[0])
+        losses = []
+        orig_drain = eng._drain_one
+
+        def capture(num_errors, total):
+            _, metrics, _ = eng._pending[0]
+            losses.append(float(jax.device_get(metrics["loss"])))
+            return orig_drain(num_errors, total)
+        eng._drain_one = capture
+        for _ in range(2):
+            eng.train(imgs, gt)
+        return np.asarray(losses), np.asarray(jax.device_get(
+            eng.state["params"]["params"]["weight_output_kernel"]))
+
+    losses_1, head_1 = run(make_mesh("data=1", devices=jax.devices()[:1]))
+    losses_8, head_8 = run(make_mesh(""))
+    assert losses_1.shape == losses_8.shape and losses_1.size == 24
+    np.testing.assert_allclose(losses_1, losses_8, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(head_1, head_8, rtol=2e-3, atol=2e-3)
