@@ -69,6 +69,48 @@ def output_size_for_input(input_size: int, num_layers: int) -> int:
     return size
 
 
+class UpConvBlock(nn.Module):
+    """2x2 stride-2 VALID transpose conv + bias, then center-crop +
+    channel-concat of the skip branch(es) (reference ``unet.py:67-85``).
+
+    Params are identical to ``nn.ConvTranspose`` (HWIO kernel + bias,
+    xavier/zeros init) so checkpoints are interchangeable between
+    backends. The Pallas path (``kernels/deconv2x2.py``) fuses the whole
+    block — four per-tap MXU matmuls interleaved 2x2, with the skip crop
+    DMA'd from HBM straight into the concatenated output block; the XLA
+    path materializes the upsample then concatenates, exactly as the
+    previous ``nn.ConvTranspose`` + ``center_crop`` + ``concatenate``
+    decoder did.
+    """
+    features: int
+    dtype: Any = jnp.bfloat16
+    conv_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, skips=()):
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            (2, 2, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        x = x.astype(self.dtype)
+        skips = tuple(s.astype(self.dtype) for s in skips)
+        if self.conv_impl == "pallas":
+            import os
+            on_tpu = jax.default_backend() == "tpu"
+            interpret = os.environ.get("ROADSEG_PALLAS_INTERPRET") == "1"
+            if on_tpu or interpret:
+                from roadseg_tpu.kernels.deconv2x2 import deconv2x2_bias
+                return deconv2x2_bias(x, kernel, bias, skips,
+                                      interpret and not on_tpu)
+        up = jax.lax.conv_transpose(
+            x, kernel.astype(self.dtype), strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        up = (up + bias.astype(self.dtype)).astype(self.dtype)
+        h, w = up.shape[1], up.shape[2]
+        return jnp.concatenate(
+            [center_crop(s, h, w) for s in skips] + [up], axis=-1)
+
+
 class ConvBlock(nn.Module):
     """Two valid 3x3 convs + ReLU, optionally dilated (rate 2)."""
     features: int
@@ -145,15 +187,9 @@ class UNet(nn.Module):
         for i in range(self.num_layers - 1):
             features //= 2
             net = dropout(net)
-            net = nn.ConvTranspose(
-                features, kernel_size=(2, 2), strides=(2, 2),
-                padding="VALID", dtype=self.dtype,
-                param_dtype=jnp.float32,
-                kernel_init=nn.initializers.xavier_uniform(),
-                name=f"up_conv_{i}")(net)
-            h, w = net.shape[1], net.shape[2]
-            branches = [center_crop(s, h, w) for s in skips.pop()]
-            net = jnp.concatenate(branches + [net], axis=-1)
+            net = UpConvBlock(features, dtype=self.dtype,
+                              conv_impl=self.conv_impl,
+                              name=f"up_conv_{i}")(net, skips.pop())
             net = block(features, dtype=self.dtype, conv_impl=self.conv_impl,
                         name=f"conv_{self.num_layers + i}")(net)
 
