@@ -157,7 +157,8 @@ class UNet(nn.Module):
 
         x = x.astype(self.dtype) - jnp.asarray(0.5, self.dtype)
         from roadseg_tpu.ops.conv import conv1x1
-        x = conv1x1(self, x, 3, name="color_space_adjust", dtype=self.dtype)
+        x = conv1x1(self, x, 3, name="color_space_adjust", dtype=self.dtype,
+                    impl=self.conv_impl)
 
         block = ConvBlock
         if self.remat:
@@ -195,7 +196,7 @@ class UNet(nn.Module):
 
         assert not skips
         logits = conv1x1(self, net, NUM_LABELS, name="weight_output",
-                         dtype=self.dtype)
+                         dtype=self.dtype, impl=self.conv_impl)
         return logits.astype(jnp.float32)
 
 

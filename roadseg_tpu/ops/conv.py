@@ -70,9 +70,21 @@ def conv2d_valid(module: nn.Module, x, features: int, *, name: str,
 
 
 def conv1x1(module: nn.Module, x, features: int, *, name: str,
-            dtype: Any = jnp.bfloat16):
-    """1x1 conv + bias as a channel matmul (maps straight onto the MXU)."""
+            dtype: Any = jnp.bfloat16, impl: str = "xla"):
+    """1x1 conv + bias as a channel matmul (maps straight onto the MXU).
+    The Pallas path fuses the bias into the matmul write-back
+    (``kernels/conv1x1.py``) — relevant under ``conv_impl=pallas`` where
+    the neighbouring custom calls are fusion barriers."""
     kernel, bias = _conv_params(module, name, 1, 1, x.shape[-1], features)
+    x = x.astype(dtype)
+    if impl == "pallas":
+        import os
+        on_tpu = jax.default_backend() == "tpu"
+        interpret = os.environ.get("ROADSEG_PALLAS_INTERPRET") == "1"
+        if on_tpu or interpret:
+            from roadseg_tpu.kernels.conv1x1 import conv1x1_bias
+            return conv1x1_bias(x, kernel[0, 0], bias,
+                                interpret and not on_tpu)
     w = kernel[0, 0].astype(dtype)
-    out = jnp.einsum("bhwc,cf->bhwf", x.astype(dtype), w)
+    out = jnp.einsum("bhwc,cf->bhwf", x, w)
     return (out + bias.astype(dtype)).astype(dtype)
