@@ -66,10 +66,40 @@ TRAIN_CONFIG = dict(
 )
 
 
+RELEASE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts", "release")
+
+
 def newest_checkpoint(save_path: str):
     cands = sorted(glob.glob(os.path.join(save_path, "*",
                                           "model-epoch-*.chkpt")))
     return cands[-1] if cands else None
+
+
+def release_checkpoint():
+    """The packaged release model (scripts/make_release.py), verified
+    against its SHA-256 manifest — the reference's download-and-verify
+    flow (``run.py:46-119``) without the download. Returns
+    (checkpoint_path, metadata dict) or (None, None)."""
+    meta_path = os.path.join(RELEASE_DIR, "release.json")
+    if not os.path.exists(meta_path):
+        return None, None
+    import json
+
+    from roadseg_tpu.utils.checkpoint import verify_manifest
+    with open(meta_path) as f:
+        meta = json.load(f)
+    ckpt = os.path.join(RELEASE_DIR, meta["checkpoint"])
+    if not os.path.isdir(ckpt):
+        print(f"WARNING: release.json names {ckpt} but it is missing; "
+              f"falling back to ./runs", file=sys.stderr)
+        return None, None
+    ok = verify_manifest(ckpt)
+    if ok is False:
+        # non-fatal, like the reference's sha256 check (run.py:143-149)
+        print(f"WARNING: release checkpoint {ckpt} does not match its "
+              f"SHA256SUMS manifest; continuing anyway", file=sys.stderr)
+    return ckpt, meta
 
 
 def main(argv=None):
@@ -113,7 +143,18 @@ def main(argv=None):
         opts.stride = SUBMISSION_CONFIG["stride"]
         opts.image_augmentation = False
     else:
-        ckpt = args.model or newest_checkpoint(args.save_path)
+        ckpt = args.model
+        if ckpt is None:
+            ckpt, meta = release_checkpoint()
+            if meta is not None:
+                # the release decides the model geometry
+                for key, val in meta.get("model", {}).items():
+                    setattr(opts, key, val)
+                print(f"using release model {meta['checkpoint']} "
+                      f"(from {meta['source_experiment']} "
+                      f"epoch {meta['source_epoch']})")
+        if ckpt is None:
+            ckpt = newest_checkpoint(args.save_path)
         if ckpt is None:
             print("No checkpoint found. Train one first:  ./run.py --train",
                   file=sys.stderr)
