@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""Per-kernel A/B micro-benchmark: Pallas vs XLA on the flagship shapes.
+
+Times each hot op of the 6-layer U-Net (3x3 valid conv fwd, the fused
+deconv2x2+crop-concat, the 1x1 head) on the real TPU at the actual
+flagship decoder/encoder shapes, both backends, and prints a table.
+Timing is true-sync: a tiny device fetch after each batch of iterations
+(``jax.block_until_ready`` does not block on tunneled backends — see
+scripts/bench_train.py).
+
+Usage: python scripts/bench_kernels.py [--iters 20] [--dtype bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def sync_time(fn, args, iters):
+    import jax
+    out = fn(*args)          # compile
+    jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
+    return (time.time() - t0) / iters
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--batch", type=int, default=8,
+                   help="batch for conv shapes (training batch)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from roadseg_tpu.kernels.conv1x1 import conv1x1_fwd
+    from roadseg_tpu.kernels.conv3x3 import conv3x3_fwd
+    from roadseg_tpu.kernels.deconv2x2 import deconv2x2_fwd
+    from roadseg_tpu.ops.geometry import center_crop
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    rng = np.random.RandomState(0)
+    b = args.batch
+    results = []
+
+    def record(name, shape_desc, t_xla, t_pal, flops):
+        row = {
+            "op": name, "shape": shape_desc,
+            "xla_ms": round(t_xla * 1e3, 3),
+            "pallas_ms": round(t_pal * 1e3, 3),
+            "pallas_vs_xla": round(t_xla / t_pal, 3),
+            "pallas_tflops": round(flops / t_pal / 1e12, 2),
+        }
+        results.append(row)
+        print(json.dumps(row))
+
+    # ---- 3x3 valid convs: one per encoder level (first conv of each) ----
+    # flagship (6L root 64) encoder sizes 764->760, 380->376, ...
+    conv_shapes = [
+        (764, 3, 64), (380, 64, 128), (188, 128, 256),
+        (92, 256, 512), (44, 512, 1024), (20, 1024, 2048),
+    ]
+    for h, cin, cout in conv_shapes:
+        if cin < 8:
+            continue  # 3-channel first conv stays on XLA by design
+        x = jnp.asarray(rng.randn(b, h, h, cin), dtype)
+        k = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.05, dtype)
+        bias = jnp.asarray(rng.randn(cout), jnp.float32)
+
+        @jax.jit
+        def f_xla(x, k, bias):
+            out = lax.conv_general_dilated(
+                x, k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.maximum(out + bias.astype(out.dtype), 0)
+
+        f_pal = jax.jit(lambda x, k, bias: conv3x3_fwd(x, k, bias, relu=True))
+        t_x = sync_time(f_xla, (x, k, bias), args.iters)
+        t_p = sync_time(f_pal, (x, k, bias), args.iters)
+        record("conv3x3+relu", f"{b}x{h}x{h}x{cin}->{cout}", t_x, t_p,
+               2 * 9 * b * (h - 2) ** 2 * cin * cout)
+
+    # ---- fused deconv2x2 + crop-concat: each decoder level ----
+    # (x_h, cin, cout, skip_h) per flagship decoder level
+    deconv_shapes = [
+        (16, 2048, 1024, 40), (28, 1024, 512, 88),
+        (52, 512, 256, 184), (100, 256, 128, 376), (196, 128, 64, 760),
+    ]
+    for h, cin, cout, hs in deconv_shapes:
+        x = jnp.asarray(rng.randn(b, h, h, cin), dtype)
+        k = jnp.asarray(rng.randn(2, 2, cin, cout) * 0.05, dtype)
+        bias = jnp.asarray(rng.randn(cout), jnp.float32)
+        skip = jnp.asarray(rng.randn(b, hs, hs, cout), dtype)
+
+        @jax.jit
+        def f_xla(x, k, bias, skip):
+            up = lax.conv_transpose(
+                x, k, (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            up = up + bias.astype(up.dtype)
+            return jnp.concatenate(
+                [center_crop(skip, 2 * x.shape[1], 2 * x.shape[2]), up],
+                axis=-1)
+
+        f_pal = jax.jit(
+            lambda x, k, bias, skip: deconv2x2_fwd(x, k, bias, (skip,)))
+        t_x = sync_time(f_xla, (x, k, bias, skip), args.iters)
+        t_p = sync_time(f_pal, (x, k, bias, skip), args.iters)
+        record("deconv2x2+concat", f"{b}x{h}x{h}x{cin}->{cout}+skip{hs}",
+               t_x, t_p, 2 * 4 * b * h * h * cin * cout)
+
+    # ---- 1x1 head (388x388x64 -> 2) ----
+    x = jnp.asarray(rng.randn(b, 388, 388, 64), dtype)
+    k1 = jnp.asarray(rng.randn(64, 2) * 0.05, jnp.float32)
+    bias1 = jnp.asarray(rng.randn(2), jnp.float32)
+
+    @jax.jit
+    def f_xla1(x, k1, bias1):
+        return (jnp.einsum("bhwc,cf->bhwf", x, k1.astype(x.dtype))
+                + bias1.astype(x.dtype))
+
+    f_pal1 = jax.jit(
+        lambda x, k1, bias1: conv1x1_fwd(x, k1.astype(x.dtype), bias1))
+    t_x = sync_time(f_xla1, (x, k1, bias1), args.iters)
+    t_p = sync_time(f_pal1, (x, k1, bias1), args.iters)
+    record("conv1x1 head", f"{b}x388x388x64->2", t_x, t_p,
+           2 * b * 388 * 388 * 64 * 2)
+
+    wins = sum(1 for r in results if r["pallas_vs_xla"] >= 1.0)
+    print(json.dumps({"summary": f"pallas wins {wins}/{len(results)}",
+                      "dtype": args.dtype, "batch": b}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,6 +57,9 @@ def main(argv=None):
                    help="specific epoch to restore (default newest)")
     p.add_argument("--start_epoch", type=int, default=0,
                    help="first epoch number for logging/checkpoint names")
+    p.add_argument("--save_from", type=int, default=0,
+                   help="skip checkpoint saves before this epoch (saves "
+                        "~1 min/epoch of device_get+write for big models)")
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (1 epoch, 1 angle, 20 imgs)")
     args = p.parse_args(argv)
@@ -115,7 +118,9 @@ def main(argv=None):
                **{k: round(v, 4) for k, v in scores.items()}}
         results.append(rec)
         print(json.dumps(rec))
-        model.save(epoch)
+        if epoch >= args.save_from:
+            model.save(epoch)
+        os.makedirs(model._checkpointer.experiment_dir, exist_ok=True)
         with open(os.path.join(model._checkpointer.experiment_dir,
                                "val_scores.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
