@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Probability-mask ensembling across checkpoints/runs, scored against
+the reference's winning submission.
+
+The reference's own late 6-layer models hold an extremely stable road
+fraction and agree 0.975+ with each other (PARITY.md round-2 table);
+single checkpoints of our faster-noisier recipes are more volatile.
+Averaging the full 6-way-TTA probability masks of several checkpoints
+(across independent runs and/or late epochs of one run) is the direct
+way to recover that stability.
+
+Usage:
+  python scripts/ensemble_runs.py --member DATE:EPOCH --member DATE:EPOCH
+      [--dilated 0] [--dtype bf16|f32] [--out artifacts/ensemble]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from roadseg_tpu.config import Options, _str2bool
+from roadseg_tpu.constants import FOREGROUND_THRESHOLD, IMG_PATCH_SIZE
+from roadseg_tpu.engine import Engine
+from roadseg_tpu.ops import geometry
+from roadseg_tpu.utils import images_io
+from roadseg_tpu.utils.scoring import compare_submissions
+
+REF_BEST = ("/root/reference/submissions/2017-12-17T10h55m14s_multi_rotation"
+            "_stochastic_aug_6_layers_epoch_22_ensemble_dropout_1.0_94_124/"
+            "submission.csv")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--member", action="append", required=True,
+                   help="DATE:EPOCH, repeatable")
+    p.add_argument("--save_path", default="runs")
+    p.add_argument("--layers", type=int, default=6)
+    p.add_argument("--root_size", type=int, default=64)
+    p.add_argument("--dilated", type=_str2bool, default=False)
+    p.add_argument("--stride", type=int, default=110)
+    p.add_argument("--chunk", type=int, default=36)
+    p.add_argument("--pred_batch", type=int, default=2)
+    p.add_argument("--out", default="artifacts/ensemble")
+    args = p.parse_args(argv)
+
+    opts = Options(num_layers=args.layers, root_size=args.root_size,
+                   dilated_layers=args.dilated, patch_size=388,
+                   stride=args.stride, batch_size=args.chunk,
+                   ensemble_prediction=True, num_epoch=0,
+                   save_path=os.path.abspath(args.save_path),
+                   logdir="/tmp/ensemble_logs")
+    eng = Engine(opts)
+    imgs = images_io.load(images_io.resolve_data_dir("test"))
+
+    acc = None
+    for mem in args.member:
+        date, epoch = mem.rsplit(":", 1)
+        eng.restore(date=date, epoch=int(epoch))
+        t0 = time.time()
+        masks = eng.predict_batchwise(imgs, args.pred_batch)
+        print(f"{mem}: predicted in {time.time() - t0:.1f}s")
+        acc = masks if acc is None else acc + masks
+    mean = np.asarray(acc) / len(args.member)
+
+    q = np.asarray(geometry.quantize_mask(
+        mean, threshold=FOREGROUND_THRESHOLD, patch_size=IMG_PATCH_SIZE))
+    os.makedirs(args.out, exist_ok=True)
+    images_io.save_submission_csv(q, args.out, IMG_PATCH_SIZE)
+    result = compare_submissions(os.path.join(args.out, "submission.csv"),
+                                 REF_BEST)
+    result["members"] = args.member
+    print(json.dumps(result))
+    with open(os.path.join(args.out, "parity.json"), "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
