@@ -49,12 +49,16 @@ def main(argv=None):
     p.add_argument("--stride", type=int, default=110)
     p.add_argument("--chunk", type=int, default=36)
     p.add_argument("--pred_batch", type=int, default=2)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="inference activation dtype")
     p.add_argument("--out", default="artifacts/ensemble")
     args = p.parse_args(argv)
 
     opts = Options(num_layers=args.layers, root_size=args.root_size,
                    dilated_layers=args.dilated, patch_size=388,
                    stride=args.stride, batch_size=args.chunk,
+                   dtype=args.dtype,
                    ensemble_prediction=True, num_epoch=0,
                    save_path=os.path.abspath(args.save_path),
                    logdir="/tmp/ensemble_logs")

@@ -50,12 +50,15 @@ def main(argv=None):
     p.add_argument("--patch_size", type=int, default=388)
     p.add_argument("--stride", type=int, default=110)
     p.add_argument("--chunk", type=int, default=36)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="inference activation dtype")
     args = p.parse_args(argv)
 
     opts = Options(num_layers=args.layers, root_size=args.root_size,
                    dilated_layers=args.dilated,
                    patch_size=args.patch_size, stride=args.stride,
-                   batch_size=args.chunk,
+                   batch_size=args.chunk, dtype=args.dtype,
                    ensemble_prediction=True, num_epoch=0,
                    save_path=os.path.abspath(args.save_path),
                    logdir=os.path.join(os.path.abspath(args.save_path),

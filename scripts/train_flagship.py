@@ -60,6 +60,8 @@ def main(argv=None):
     p.add_argument("--save_from", type=int, default=0,
                    help="skip checkpoint saves before this epoch (saves "
                         "~1 min/epoch of device_get+write for big models)")
+    p.add_argument("--seed", type=int, default=2017,
+                   help="training seed (init, shuffle, augmentation)")
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (1 epoch, 1 angle, 20 imgs)")
     args = p.parse_args(argv)
@@ -78,6 +80,7 @@ def main(argv=None):
         lr=args.lr, momentum=0.9, num_epoch=args.epochs,
         decay_steps=decay_steps,
         eval_every=0, train_score_every=0, remat=args.remat,
+        seed=args.seed,
         save_path=args.save_path,
         logdir=os.path.join(args.save_path, "logs"),
     )
