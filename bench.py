@@ -44,13 +44,24 @@ def main():
     eng = Engine(opts)
 
     # Throughput doesn't depend on weight values, but restore a trained
-    # flagship checkpoint when one exists so the masks are real.
+    # flagship checkpoint when one exists so the masks are real. Only
+    # checkpoints matching the bench model's geometry are candidates
+    # (a mixed runs/ population must not hand us a mismatched param tree).
     try:
         import glob
+
+        from roadseg_tpu.utils import checkpoint as ckpt_lib
         ckpts = sorted(glob.glob(os.path.join("runs", "*",
-                                              "model-epoch-*.chkpt")))
-        if ckpts:
-            eng.restore(file=os.path.abspath(ckpts[-1]))
+                                              "model-epoch-*.chkpt")),
+                       reverse=True)
+        want = eng.model_geometry
+        match = next((c for c in ckpts if not ckpt_lib.is_sentinel(c)
+                      and ckpt_lib.read_geometry(c) == want), None)
+        if match:
+            eng.restore(file=os.path.abspath(match))
+        elif ckpts:
+            print(f"(bench) no checkpoint matches "
+                  f"{ckpt_lib.describe_geometry(want)}; using random init")
     except Exception as e:
         print(f"(bench) checkpoint restore skipped: {e}")
 

@@ -78,6 +78,12 @@ class Options:
     remat: bool = False
     # Emit a jax.profiler trace (TensorBoard-loadable) of the first epoch.
     profile: bool = False
+    # Per-step "Batch N Step M" log cadence. 0 = auto: every step on a TTY
+    # (carriage-return overwrite, the reference's per-step print at
+    # tf_aerial_images.py:246), every 100 steps as plain lines when stdout
+    # is redirected (a 43k-step batch-1 run otherwise writes ~900 KB of
+    # step spam that buries the epoch/val signal in the log file).
+    log_every: int = 0
 
     def __post_init__(self):
         if isinstance(self.rotation_angles, str):
@@ -187,6 +193,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(1000//batch_size = reference batch-1 anneal)")
     boolean("remat", d.remat, "Rematerialize encoder blocks in backward pass")
     boolean("profile", d.profile, "Profile the first training epoch")
+    p.add_argument("--log_every", type=int, default=d.log_every,
+                   help="Steps between per-step log lines (0 = auto: every "
+                        "step on a TTY, every 100 otherwise)")
     p.add_argument("--preset", type=str, default=None,
                    help="Named report preset (vanilla/kiwi/apple/guava/"
                         "lime/mango); explicit flags override it")

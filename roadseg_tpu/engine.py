@@ -35,6 +35,7 @@ import collections
 import contextlib
 import functools
 import os
+import sys
 import time
 from typing import Optional
 
@@ -330,6 +331,13 @@ class Engine:
         num_errors, total = 0.0, 0
         was_interrupted = False
         b = opts.batch_size
+        # Per-step log cadence: the reference prints "Batch N Step M" every
+        # step (tf_aerial_images.py:246) — kept on a TTY via \r overwrite,
+        # but rate-limited to plain lines when stdout is redirected so a
+        # 43k-step run doesn't write a megabyte of step spam to its log.
+        is_tty = sys.stdout.isatty()
+        log_every = int(opts.log_every) or (1 if is_tty else 100)
+        log_end = "\r" if (log_every == 1 and is_tty) else "\n"
         # fixed-size batches, dropping the remainder (tf_aerial_images.py:232)
         with profile_ctx, _graceful_interrupt() as interrupted:
             for batch_i, off in enumerate(range(0, len(table) - b, b)):
@@ -359,7 +367,8 @@ class Engine:
                 # Drain lazily so device dispatch stays ahead of host logging.
                 while len(self._pending) > 8:
                     num_errors, total = self._drain_one(num_errors, total)
-                print(f"Batch {batch_i} Step {step}", end="\r")
+                if step % log_every == 0:
+                    print(f"Batch {batch_i} Step {step}", end=log_end)
 
                 if opts.eval_every > 0 and step % opts.eval_every == 0 \
                         and imgs is not None:
@@ -497,12 +506,30 @@ class Engine:
     # ------------------------------------------------------------------
     # checkpointing
     # ------------------------------------------------------------------
+    @property
+    def model_geometry(self) -> dict:
+        """The architecture keys that must match between a checkpoint's
+        param tree and this Engine's model (``checkpoint.GEOMETRY_KEYS``)."""
+        opts = self._options
+        return {"num_layers": int(opts.num_layers),
+                "root_size": int(opts.root_size),
+                "dilated_layers": bool(opts.dilated_layers)}
+
     def save(self, epoch: int = 0) -> str:
-        return self._checkpointer.save(jax.device_get(self.state), epoch)
+        return self._checkpointer.save(jax.device_get(self.state), epoch,
+                                       geometry=self.model_geometry)
 
     def restore(self, date=None, epoch=None, file=None):
         template = jax.device_get(self.state)
         path = self._checkpointer.resolve(date=date, epoch=epoch, file=file)
+        geo = checkpoint.read_geometry(path)
+        if geo is not None and geo != self.model_geometry:
+            raise ValueError(
+                f"checkpoint {path} is "
+                f"{checkpoint.describe_geometry(geo)}, but the model is "
+                f"{checkpoint.describe_geometry(self.model_geometry)}; "
+                f"pass matching --num_layers/--root_size/--dilated_layers "
+                f"or pick a checkpoint of this architecture")
         state = self._checkpointer.restore(template, file=path)
         if checkpoint.is_sentinel(path):
             # resuming an interrupted run: continue saving into the same

@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import code
 import os
+import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -23,7 +25,11 @@ from roadseg_tpu.ops import geometry
 from roadseg_tpu.utils import images_io
 
 
-def run(opts: Options) -> Engine:
+def run(opts: Options) -> Optional[Engine]:
+    """Build + drive the Engine per ``opts``. Returns the Engine, or
+    ``None`` when training was interrupted by SIGTERM/SIGINT (the
+    interrupt checkpoint is already written; eval/submission phases are
+    intentionally skipped — resume with ``--restore_model``)."""
     import jax
     print(f"Running on {jax.device_count()} {jax.default_backend()} "
           f"device(s)")
@@ -54,7 +60,7 @@ def run(opts: Options) -> Engine:
                 # SIGTERM/SIGINT: the interrupt checkpoint is already
                 # written; stop the run instead of saving a partial epoch
                 print("training interrupted; stopping")
-                return 0
+                return None
             model.save(i)
 
     # -- eval on training data (tf_aerial_images.py:432-445) -----------
@@ -105,8 +111,9 @@ def run(opts: Options) -> Engine:
 
 
 def main(argv=None):
-    run(options_from_args(argv))
+    # interrupted training (run() -> None) maps to a nonzero exit code
+    return 0 if run(options_from_args(argv)) is not None else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -15,6 +15,13 @@ Endpoints:
   POST /predict          -> probability mask; body = PNG (1 image) or .npy
                             [N, H, W, 3] float; Accept: image/png or
                             application/x-npy (matches the body by default)
+
+Input contract (breaking change vs the first revision): ``.npy`` bodies
+must be either uint8 (0-255, rescaled server-side) or float already
+normalized to [0, 1]. Float 0-255 data is *rejected* with a 400 — the old
+``max() > 1.5`` auto-rescale heuristic silently corrupted legitimately
+pre-normalized inputs and is gone. Clients sending float pixel data must
+divide by 255 themselves (or send uint8).
   POST /predict?quantize=1 -> Kaggle-quantized binary mask (16x16 blocks)
 
 Run: ``python -m roadseg_tpu.serve --port 8642 --restore_model ...``

@@ -22,8 +22,11 @@ MAX_TO_KEEP = 100
 _EPOCH_FMT = "model-epoch-{:03d}.chkpt"
 _EPOCH_GLOB = "model-epoch-*.chkpt"
 _MANIFEST = "SHA256SUMS"
+_GEOMETRY = "geometry.json"
 # epochs >= this are sentinels (interrupt checkpoints), not real epochs
 _SENTINEL_EPOCH = 900
+# model-geometry keys that must match between checkpoint and Engine
+GEOMETRY_KEYS = ("num_layers", "root_size", "dilated_layers")
 
 
 def _epoch_of(path: str) -> int:
@@ -39,11 +42,16 @@ def is_sentinel(path: str) -> bool:
 
 
 def _checkpoint_digests(path: str) -> dict[str, str]:
-    """SHA-256 of every file under an orbax checkpoint dir (relative paths)."""
+    """SHA-256 of every file under an orbax checkpoint dir (relative paths).
+
+    The manifest itself and the ``geometry.json`` sidecar are excluded:
+    geometry is advisory metadata (it may be backfilled into pre-existing
+    checkpoints whose manifests predate it), and a tampered sidecar is
+    caught anyway by the restore-time geometry check."""
     out = {}
     for root, _, files in os.walk(path):
         for fn in sorted(files):
-            if fn == _MANIFEST:
+            if fn in (_MANIFEST, _GEOMETRY):
                 continue
             full = os.path.join(root, fn)
             h = hashlib.sha256()
@@ -82,6 +90,79 @@ def verify_manifest(path: str) -> bool | None:
     return want == _checkpoint_digests(path)
 
 
+def write_geometry(path: str, geometry: dict) -> str:
+    """Write the ``geometry.json`` sidecar into a checkpoint dir.
+
+    Records the model geometry the checkpoint's param tree was built with
+    (``GEOMETRY_KEYS``), so auto-pickers (``run.py``/``bench.py``) and
+    ``Engine.restore`` can match checkpoints to models *before* attempting
+    an Orbax restore — the reference's TF Saver had the same failure mode
+    (restoring into a mismatched graph) with an equally opaque error.
+    """
+    import json
+    sidecar = os.path.join(path, _GEOMETRY)
+    with open(sidecar, "w") as f:
+        json.dump({k: geometry[k] for k in GEOMETRY_KEYS}, f)
+        f.write("\n")
+    return sidecar
+
+
+def infer_geometry(path: str) -> Optional[dict]:
+    """Infer model geometry from an Orbax checkpoint's param-tree metadata.
+
+    For checkpoints saved before the ``geometry.json`` sidecar existed.
+    Reads only the checkpoint *metadata* (tree structure + array shapes,
+    no tensor payload): the U-Net param tree (``models/unet.py:163-199``)
+    has encoder convs ``conv_0..conv_{L-1}`` and decoder convs
+    ``conv_L..conv_{2L-2}`` (so ``L = (count + 1) // 2``), dilated-branch
+    blocks named ``conv_dilut_*``, and ``conv_0/conv1/kernel`` with
+    ``root_size`` output channels.
+    """
+    try:
+        # orbax silently returns empty metadata for relative paths
+        meta = ocp.PyTreeCheckpointer().metadata(os.path.abspath(path))
+        meta = getattr(meta, "item_metadata", meta)
+        tree = meta["params"]["params"]
+        convs = [k for k in tree
+                 if k.startswith("conv_") and not k.startswith("conv_dilut_")]
+        first = tree["conv_0"]
+        # leaf naming differs across save styles: flat "conv1_kernel"
+        # (ops/conv self.param) vs nested "conv1"/"kernel"
+        kern = (first["conv1_kernel"] if "conv1_kernel" in first
+                else first["conv1"]["kernel"])
+        return {
+            "num_layers": (len(convs) + 1) // 2,
+            "root_size": int(kern.shape[-1]),
+            "dilated_layers": any(k.startswith("conv_dilut_") for k in tree),
+        }
+    except Exception:
+        return None
+
+
+def read_geometry(path: str) -> Optional[dict]:
+    """Model geometry of a checkpoint: sidecar if present, else inferred
+    from the Orbax metadata. None when neither works."""
+    import json
+    sidecar = os.path.join(path, _GEOMETRY)
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as f:
+                geo = json.load(f)
+            return {k: geo[k] for k in GEOMETRY_KEYS}
+        except (json.JSONDecodeError, KeyError):
+            pass
+    return infer_geometry(path)
+
+
+def describe_geometry(geometry: Optional[dict]) -> str:
+    """``{"num_layers": 6, "root_size": 64, "dilated_layers": False}`` ->
+    ``"6L root64 non-dilated"`` (for one-line mismatch errors)."""
+    if geometry is None:
+        return "unknown geometry"
+    return (f"{geometry['num_layers']}L root{geometry['root_size']} "
+            f"{'dilated' if geometry['dilated_layers'] else 'non-dilated'}")
+
+
 class Checkpointer:
     def __init__(self, save_path: str, experiment_name: str):
         self.save_path = os.path.abspath(save_path)
@@ -92,8 +173,13 @@ class Checkpointer:
     def experiment_dir(self) -> str:
         return os.path.join(self.save_path, self.experiment_name)
 
-    def save(self, state: Any, epoch: int = 0) -> str:
+    def save(self, state: Any, epoch: int = 0,
+             geometry: Optional[dict] = None) -> str:
         """Save train-state pytree as ``<experiment>/model-epoch-NNN.chkpt``.
+
+        ``geometry`` (``GEOMETRY_KEYS`` dict) is recorded as a
+        ``geometry.json`` sidecar so restores can match checkpoints to
+        model architectures up front.
 
         A successful *regular* save (epoch < 900) deletes any stale
         interrupt sentinel (epoch-999) so newest-epoch resolution never
@@ -105,6 +191,8 @@ class Checkpointer:
         path = os.path.join(self.experiment_dir, _EPOCH_FMT.format(epoch))
         self._ckpt.save(path, state, force=True)
         self._ckpt.wait_until_finished()
+        if geometry is not None:
+            write_geometry(path, geometry)
         write_manifest(path)
         if epoch < _SENTINEL_EPOCH:
             sentinels = [

@@ -29,15 +29,20 @@ import time
 
 import numpy as np
 
-from roadseg_tpu.config import Options
+from roadseg_tpu.config import Options, _str2bool
 from roadseg_tpu.constants import FOREGROUND_THRESHOLD, IMG_PATCH_SIZE
 from roadseg_tpu.engine import Engine
 from roadseg_tpu.ops import geometry
 from roadseg_tpu.utils import images_io
 
-# The pinned winning configuration (reference run.py:121-137). The TPU
-# build keeps the model/geometry flags identical; batch sizes are TPU
-# throughput knobs with no effect on the masks.
+# The pinned winning configuration. The reference run.py pins its *dilated*
+# 6-layer config (run.py:121-137, reproducing the 93.994 entry); the actual
+# 94.124 Kaggle winner is the NON-dilated 6-layer model (submission dir
+# `2017-12-17T10h55m14s_..._6_layers_epoch_22_ensemble_dropout_1.0_94_124`,
+# PARITY.md round-2 calibration) — that is what we pin. ``--dilated 1``
+# selects the reference-faithful dilated parity config. The TPU build keeps
+# the model/geometry flags identical; batch sizes are TPU throughput knobs
+# with no effect on the masks.
 SUBMISSION_CONFIG = dict(
     num_epoch=0,
     batch_size=9,            # reference uses 1; 9 = one 3x3 window grid
@@ -46,7 +51,7 @@ SUBMISSION_CONFIG = dict(
     stride=110,
     num_layers=6,
     root_size=64,
-    dilated_layers=True,
+    dilated_layers=False,    # the 94.124 winner architecture
     ensemble_prediction=True,
     dropout=1.0,
 )
@@ -70,10 +75,23 @@ RELEASE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "artifacts", "release")
 
 
-def newest_checkpoint(save_path: str):
+def newest_checkpoint(save_path: str, geometry=None):
+    """Newest completed-epoch checkpoint under ``save_path``, optionally
+    restricted to a model ``geometry`` (``checkpoint.GEOMETRY_KEYS`` dict).
+
+    Interrupt sentinels (epoch-999) are skipped — they hold mid-epoch
+    weights meant for ``--resume``, not for a submission."""
+    from roadseg_tpu.utils import checkpoint as ckpt_lib
     cands = sorted(glob.glob(os.path.join(save_path, "*",
-                                          "model-epoch-*.chkpt")))
-    return cands[-1] if cands else None
+                                          "model-epoch-*.chkpt")),
+                   reverse=True)
+    for cand in cands:
+        if ckpt_lib.is_sentinel(cand):
+            continue
+        if geometry is not None and ckpt_lib.read_geometry(cand) != geometry:
+            continue
+        return cand
+    return None
 
 
 def release_checkpoint():
@@ -118,13 +136,24 @@ def main(argv=None):
                    help="data root (default: ./data or the reference mount)")
     p.add_argument("--out", type=str, default=None,
                    help="output dir (default: <save_path>/<experiment>)")
+    p.add_argument("--dilated", type=_str2bool, default=None,
+                   help="1 = the reference run.py's dilated parity config "
+                        "(reproduces the 93.994 entry); 0 = the non-dilated "
+                        "94.124 winner (default); unset = adopt whatever "
+                        "the release/newest checkpoint is")
     args = p.parse_args(argv)
 
     data_root = args.data or images_io.resolve_data_dir()
-    opts = Options(**SUBMISSION_CONFIG, save_path=args.save_path,
-                   train_data_dir=os.path.join(data_root, "training"))
+    config = dict(SUBMISSION_CONFIG)
+    if args.dilated is not None:
+        config["dilated_layers"] = args.dilated
+
+    def build_opts():
+        return Options(**config, save_path=args.save_path,
+                       train_data_dir=os.path.join(data_root, "training"))
 
     if args.train:
+        opts = build_opts()
         for key, val in TRAIN_CONFIG.items():
             setattr(opts, key, val)
         model = Engine(opts)
@@ -143,22 +172,43 @@ def main(argv=None):
         opts.stride = SUBMISSION_CONFIG["stride"]
         opts.image_augmentation = False
     else:
-        ckpt = args.model
-        if ckpt is None:
+        from roadseg_tpu.utils import checkpoint as ckpt_lib
+        ckpt, meta = args.model, None
+        if ckpt is None and args.dilated is None:
             ckpt, meta = release_checkpoint()
             if meta is not None:
                 # the release decides the model geometry
-                for key, val in meta.get("model", {}).items():
-                    setattr(opts, key, val)
+                config.update(meta.get("model", {}))
                 print(f"using release model {meta['checkpoint']} "
                       f"(from {meta['source_experiment']} "
                       f"epoch {meta['source_epoch']})")
         if ckpt is None:
-            ckpt = newest_checkpoint(args.save_path)
+            # restrict the newest-checkpoint search to the pinned (or
+            # --dilated-selected) architecture so a mixed runs/ population
+            # can't hand us a mismatched param tree (round-2 footgun)
+            want = {k: config[k] for k in ckpt_lib.GEOMETRY_KEYS}
+            ckpt = newest_checkpoint(args.save_path, geometry=want)
+            if ckpt is None and args.dilated is None:
+                ckpt = newest_checkpoint(args.save_path)  # any architecture
         if ckpt is None:
             print("No checkpoint found. Train one first:  ./run.py --train",
                   file=sys.stderr)
             return 1
+        if meta is None:
+            geo = ckpt_lib.read_geometry(ckpt)
+            if geo is not None and geo != {k: config[k]
+                                           for k in ckpt_lib.GEOMETRY_KEYS}:
+                if args.dilated is not None:
+                    print(f"checkpoint {ckpt} is "
+                          f"{ckpt_lib.describe_geometry(geo)} but "
+                          f"--dilated {int(args.dilated)} was requested; "
+                          f"pass --model with a matching checkpoint",
+                          file=sys.stderr)
+                    return 1
+                config.update(geo)
+                print(f"adopting checkpoint geometry: "
+                      f"{ckpt_lib.describe_geometry(geo)}")
+        opts = build_opts()
         model = Engine(opts)
         model.restore(file=ckpt)
 

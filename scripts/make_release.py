@@ -33,7 +33,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from roadseg_tpu.utils.checkpoint import Checkpointer, verify_manifest
+from roadseg_tpu.utils.checkpoint import (Checkpointer, read_geometry,
+                                          verify_manifest)
 
 RELEASE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "artifacts", "release")
@@ -45,10 +46,12 @@ def main(argv=None):
     p.add_argument("--date", required=True,
                    help="experiment dir under --save_path")
     p.add_argument("--epoch", type=int, required=True)
-    p.add_argument("--layers", type=int, default=6)
-    p.add_argument("--root_size", type=int, default=64)
-    p.add_argument("--dilated", default="1",
-                   help="1/0: model has dilated branches")
+    p.add_argument("--layers", type=int, default=None,
+                   help="override; default: read from the checkpoint")
+    p.add_argument("--root_size", type=int, default=None,
+                   help="override; default: read from the checkpoint")
+    p.add_argument("--dilated", default=None,
+                   help="1/0 override; default: read from the checkpoint")
     p.add_argument("--score-json", default="{}",
                    help="JSON dict of quality scores to record")
     p.add_argument("--notes", default="")
@@ -62,6 +65,19 @@ def main(argv=None):
     ok = verify_manifest(src)
     if ok is False:
         raise SystemExit(f"refusing to release {src}: manifest mismatch")
+
+    # model geometry: the checkpoint's own record, with flag overrides
+    geo = read_geometry(src) or {}
+    if args.layers is not None:
+        geo["num_layers"] = args.layers
+    if args.root_size is not None:
+        geo["root_size"] = args.root_size
+    if args.dilated is not None:
+        geo["dilated_layers"] = args.dilated not in ("0", "false", "False")
+    missing = {"num_layers", "root_size", "dilated_layers"} - set(geo)
+    if missing:
+        raise SystemExit(f"cannot determine model geometry ({missing}) from "
+                         f"{src}; pass --layers/--root_size/--dilated")
 
     os.makedirs(args.out, exist_ok=True)
     # exactly one checkpoint per release
@@ -82,11 +98,8 @@ def main(argv=None):
         "source_epoch": args.epoch,
         "created": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "manifest_sha256": digest,
-        "model": {
-            "num_layers": args.layers,
-            "root_size": args.root_size,
-            "dilated_layers": args.dilated not in ("0", "false", "False"),
-        },
+        "model": {k: geo[k]
+                  for k in ("num_layers", "root_size", "dilated_layers")},
         "scores": json.loads(getattr(args, "score_json")),
         "notes": args.notes,
     }

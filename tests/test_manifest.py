@@ -29,9 +29,11 @@ def test_save_writes_manifest_and_verify_roundtrip(tmp_path, capsys):
     assert "WARNING" not in capsys.readouterr().out
 
     # corrupt one checkpoint file -> verify fails, restore warns non-fatally
+    # geometry.json is advisory metadata excluded from the manifest digest
     victims = [p for p in glob.glob(os.path.join(path, "**", "*"),
                                     recursive=True)
-               if os.path.isfile(p) and "SHA256SUMS" not in p]
+               if os.path.isfile(p) and "SHA256SUMS" not in p
+               and "geometry.json" not in p]
     with open(victims[0], "r+b") as f:
         f.seek(0)
         byte = f.read(1)

@@ -64,7 +64,7 @@ def test_make_release_and_run_preference(tiny_run, monkeypatch):
     from roadseg_tpu.utils.checkpoint import verify_manifest
     victim = next(
         os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
-        if f != "SHA256SUMS")
+        if f not in ("SHA256SUMS", "geometry.json"))
     with open(victim, "ab") as f:
         f.write(b"x")
     assert verify_manifest(ckpt) is False
@@ -78,7 +78,7 @@ def test_release_refuses_corrupt_source(tiny_run):
     src = eng._checkpointer.resolve(date=eng.experiment_name, epoch=3)
     victim = next(
         os.path.join(r, f) for r, _, fs in os.walk(src) for f in fs
-        if f != "SHA256SUMS")
+        if f not in ("SHA256SUMS", "geometry.json"))
     with open(victim, "ab") as f:
         f.write(b"x")
     with pytest.raises(SystemExit, match="manifest mismatch"):
