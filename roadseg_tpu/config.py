@@ -63,8 +63,10 @@ class Options:
     # Compute dtype for conv activations. Params and optimizer state stay
     # float32; bfloat16 activations keep the MXU fed at full rate.
     dtype: str = "bfloat16"
-    # Convolution backend: "xla" (lax.conv_general_dilated) or "pallas"
-    # (hand-written fused TPU kernels, see roadseg_tpu/kernels/).
+    # Convolution backend: "xla" (lax.conv_general_dilated), "pallas"
+    # (hand-written fused TPU kernels, see roadseg_tpu/kernels/), or
+    # "hybrid" (the measured per-shape winner on v5e — Pallas bottleneck
+    # 3x3s + fused deconv2x2-concat, XLA elsewhere; docs/DESIGN.md table).
     conv_impl: str = "xla"
     # Device mesh spec, e.g. "data=8" or "data=4,model=2". Empty = 1-D data
     # mesh over all visible devices.
@@ -185,7 +187,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("bfloat16", "float32"),
                    help="Compute dtype for activations")
     p.add_argument("--conv_impl", type=str, default=d.conv_impl,
-                   choices=("xla", "pallas"), help="Convolution backend")
+                   choices=("xla", "pallas", "hybrid"),
+                   help="Convolution backend")
     p.add_argument("--mesh", type=str, default=d.mesh,
                    help='Device mesh spec, e.g. "data=4,model=2"')
     p.add_argument("--decay_steps", type=int, default=d.decay_steps,

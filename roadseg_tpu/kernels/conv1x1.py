@@ -29,6 +29,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic's default 16 MB scoped-VMEM guardrail rejects the flagship
+# batch-8 blocks (v5e has 128 MB VMEM); raise the per-kernel cap.
+_MOSAIC_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -73,6 +77,7 @@ def conv1x1_fwd(x, k, bias, *, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), x.dtype),
         interpret=interpret,
+        compiler_params=_MOSAIC_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * w * cin * cout,
             bytes_accessed=(x.size + k.size + n * h * w * cout)
@@ -133,6 +138,7 @@ def conv1x1_dw(x, g, *, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((cin, cout), jnp.float32),
         scratch_shapes=[pltpu.VMEM((ci_t, co_t), jnp.float32)],
         interpret=interpret,
+        compiler_params=_MOSAIC_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * w * cin * cout,
             bytes_accessed=(x.size + g.size) * x.dtype.itemsize,

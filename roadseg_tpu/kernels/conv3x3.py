@@ -37,6 +37,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic's default 16 MB scoped-VMEM guardrail rejects the flagship
+# batch-8 blocks (v5e has 128 MB VMEM); raise the per-kernel cap.
+_MOSAIC_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -158,6 +162,7 @@ def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
                 memory_space=pltpu.VMEM),
             out_shape=out_shape,
             interpret=interpret,
+            compiler_params=_MOSAIC_PARAMS,
             cost_estimate=cost,
         )(x, x, k, bias2)
 
@@ -202,6 +207,7 @@ def conv3x3_fwd(x, k, bias, *, dilation: int = 1, interpret: bool = False,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((th, w_out, co_t), jnp.float32)],
         interpret=interpret,
+        compiler_params=_MOSAIC_PARAMS,
         cost_estimate=cost,
     )(x, x, k, bias2)
 
@@ -302,6 +308,7 @@ def conv3x3_dw(x, g, *, dilation: int = 1, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
         scratch_shapes=[pltpu.VMEM((9, ci_t, co_t), jnp.float32)],
         interpret=interpret,
+        compiler_params=_MOSAIC_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * n * h_out * w_out * cin * cout,
             bytes_accessed=(2 * x.size + g.size) * x.dtype.itemsize,

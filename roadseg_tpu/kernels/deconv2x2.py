@@ -45,6 +45,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic's default 16 MB scoped-VMEM guardrail rejects the flagship
+# batch-8 blocks (v5e has 128 MB VMEM); raise the per-kernel cap.
+_MOSAIC_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -203,6 +207,7 @@ def deconv2x2_fwd(x, k, bias, skips=(), *, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((n, h2, w2, c_total), x.dtype),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        compiler_params=_MOSAIC_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * 4 * n * h * w * cin * cout,
             bytes_accessed=(x.size + k.size
@@ -253,6 +258,7 @@ def deconv2x2_dx(g, k, *, interpret: bool = False, row_tile: int = 8):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cin), g.dtype),
         interpret=interpret,
+        compiler_params=_MOSAIC_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * 4 * n * h * w * cin * cout,
             bytes_accessed=(g.size + k.size + n * h * w * cin)
@@ -326,6 +332,7 @@ def deconv2x2_dk(x, g, *, interpret: bool = False, row_chunk: int = 16):
         out_shape=jax.ShapeDtypeStruct((4, cin, cout), jnp.float32),
         scratch_shapes=[pltpu.VMEM((4, ci_t, co_t), jnp.float32)],
         interpret=interpret,
+        compiler_params=_MOSAIC_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * 4 * n * h * w * cin * cout,
             bytes_accessed=(x.size + g.size) * x.dtype.itemsize,

@@ -94,7 +94,9 @@ class UpConvBlock(nn.Module):
                           jnp.float32)
         x = x.astype(self.dtype)
         skips = tuple(s.astype(self.dtype) for s in skips)
-        if self.conv_impl == "pallas":
+        # the fused kernel won at every decoder level on hardware
+        # (bench_kernels table: 1.01-1.69x) — hybrid always takes it
+        if self.conv_impl in ("pallas", "hybrid"):
             import os
             on_tpu = jax.default_backend() == "tpu"
             interpret = os.environ.get("ROADSEG_PALLAS_INTERPRET") == "1"

@@ -1,12 +1,18 @@
 """Convolution backends for the U-Net hot path.
 
-Two implementations behind one interface:
+Three implementations behind one interface:
 
 * ``impl="xla"``  — ``lax.conv_general_dilated`` (XLA's native TPU conv,
   already MXU-tiled and fusion-friendly).
 * ``impl="pallas"`` — hand-written fused Pallas TPU kernels
   (``roadseg_tpu/kernels/``), the native layer standing in for the
   reference's cuDNN-backed ``tf.layers.conv2d`` (``src/unet.py:34-44``).
+* ``impl="hybrid"`` — the measured per-shape winner on v5e
+  (``scripts/bench_kernels.py`` table, recorded in docs/DESIGN.md):
+  Pallas for the bottleneck 3x3 convs (cin >= 1024, where XLA's conv
+  pads small-spatial tiles and our kernel wins 1.7x) and for every fused
+  deconv2x2+crop-concat decoder block (wins 1.0-1.7x at all five
+  levels); XLA for large-spatial 3x3 convs and the 1x1s (XLA wins).
 
 Parameters are created here (not via ``nn.Conv``) so both backends share the
 identical pytree layout: HWIO float32 kernels + float32 bias, compute in
@@ -46,7 +52,12 @@ def conv2d_valid(module: nn.Module, x, features: int, *, name: str,
     # XLA (a 3-wide contraction would waste 125/128 lanes). Off-TPU the
     # kernels run in interpret mode when ROADSEG_PALLAS_INTERPRET=1
     # (CI coverage of the wiring), else fall back to XLA.
-    if impl == "pallas" and x.shape[-1] >= 8:
+    # hybrid: Pallas only where it beat XLA on hardware — the bottleneck
+    # convs (20x20x1024->2048: 1.7x, 18x18x2048->2048) where XLA's conv
+    # wastes MXU tiles on the tiny spatial extent.
+    use_pallas = (impl == "pallas" and x.shape[-1] >= 8) or \
+                 (impl == "hybrid" and x.shape[-1] >= 1024)
+    if use_pallas:
         import os
         on_tpu = jax.default_backend() == "tpu"
         interpret = os.environ.get("ROADSEG_PALLAS_INTERPRET") == "1"
@@ -74,7 +85,9 @@ def conv1x1(module: nn.Module, x, features: int, *, name: str,
     """1x1 conv + bias as a channel matmul (maps straight onto the MXU).
     The Pallas path fuses the bias into the matmul write-back
     (``kernels/conv1x1.py``) — relevant under ``conv_impl=pallas`` where
-    the neighbouring custom calls are fusion barriers."""
+    the neighbouring custom calls are fusion barriers. Under ``hybrid``
+    the neighbours are XLA ops, XLA fuses the einsum+bias itself, and the
+    measured table has XLA 2x faster — so hybrid keeps 1x1s on XLA."""
     kernel, bias = _conv_params(module, name, 1, 1, x.shape[-1], features)
     x = x.astype(dtype)
     if impl == "pallas":

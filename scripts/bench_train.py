@@ -32,9 +32,9 @@ FWD_GFLOPS = 867.7
 def run_variant(name: str, batch: int, steps: int, *, remat: bool,
                 conv_impl: str, dtype: str = "bfloat16",
                 num_layers: int = 6, root_size: int = 64,
-                patch_size: int = 388) -> dict:
+                patch_size: int = 388, dilated: bool = True) -> dict:
     opts = Options(
-        num_layers=num_layers, root_size=root_size, dilated_layers=True,
+        num_layers=num_layers, root_size=root_size, dilated_layers=dilated,
         patch_size=patch_size, stride=12, batch_size=batch,
         dropout=1.0, image_augmentation=True, lr=0.01,
         num_epoch=1, eval_every=0, train_score_every=0,
@@ -69,12 +69,13 @@ def run_variant(name: str, batch: int, steps: int, *, remat: bool,
     dt = (time.time() - t0) / steps
     out = {
         "variant": name, "batch": batch, "remat": remat,
+        "dilated": dilated,
         "conv_impl": conv_impl, "dtype": dtype,
         "s_per_step": round(dt, 4),
         "steps_per_s": round(1.0 / dt, 3),
         "samples_per_s": round(batch / dt, 2),
     }
-    if (num_layers, root_size, patch_size) == (6, 64, 388):
+    if (num_layers, root_size, patch_size) == (6, 64, 388) and dilated:
         # fwd + bwd(2x) + remat re-fwd (1x when on)
         flops = FWD_GFLOPS * 1e9 * batch * (4.0 if remat else 3.0)
         out["model_tflops"] = round(flops / dt / 1e12, 1)
@@ -89,6 +90,7 @@ def main(argv=None):
     p.add_argument("--layers", type=int, default=6)
     p.add_argument("--root_size", type=int, default=64)
     p.add_argument("--patch_size", type=int, default=388)
+    p.add_argument("--dilated", type=lambda v: v != "0", default=True)
     args = p.parse_args(argv)
 
     catalog = {
@@ -96,6 +98,7 @@ def main(argv=None):
         "noremat": dict(remat=False, conv_impl="xla"),
         "pallas": dict(remat=False, conv_impl="pallas"),
         "pallas_remat": dict(remat=True, conv_impl="pallas"),
+        "hybrid": dict(remat=False, conv_impl="hybrid"),
         "f32": dict(remat=False, conv_impl="xla", dtype="float32"),
     }
     for name in args.variants.split(","):
@@ -103,7 +106,8 @@ def main(argv=None):
             r = run_variant(name, args.batch, args.steps,
                             num_layers=args.layers,
                             root_size=args.root_size,
-                            patch_size=args.patch_size, **catalog[name])
+                            patch_size=args.patch_size,
+                            dilated=args.dilated, **catalog[name])
             print(json.dumps(r))
         except Exception as e:  # noqa: BLE001 — report and continue
             print(json.dumps({"variant": name, "error": str(e)[:300]}))
