@@ -10,10 +10,16 @@ over ``data/test``.
 This environment has no network egress, so instead of a download the
 weights come from a local checkpoint:
 
-    ./run.py                          # newest checkpoint under ./runs
+    ./run.py                          # packaged release (possibly an
+                                      # N-member ensemble), else newest
+                                      # checkpoint under ./runs
     ./run.py --model <ckpt-path>      # explicit checkpoint
     ./run.py --train                  # train the pinned config first
     ./run.py <accel-id>               # parity no-op (device index arg)
+
+An ensemble release (scripts/make_release.py --member DATE:EPOCH ...)
+restores every member and averages their probability masks before
+quantizing — the shipped reproduction of the round-3 parity result.
 
 Without any checkpoint it refuses (a random-weight "submission" would be
 meaningless) unless --train is given.
@@ -95,10 +101,13 @@ def newest_checkpoint(save_path: str, geometry=None):
 
 
 def release_checkpoint():
-    """The packaged release model (scripts/make_release.py), verified
-    against its SHA-256 manifest — the reference's download-and-verify
+    """The packaged release model(s) (scripts/make_release.py), verified
+    against their SHA-256 manifests — the reference's download-and-verify
     flow (``run.py:46-119``) without the download. Returns
-    (checkpoint_path, metadata dict) or (None, None)."""
+    (checkpoint_paths list, metadata dict) or (None, None). An ensemble
+    release (metadata "members") yields several paths; ``main`` averages
+    their predicted probability masks (PARITY.md round 3: independent
+    seeds' mask average beats any single run)."""
     meta_path = os.path.join(RELEASE_DIR, "release.json")
     if not os.path.exists(meta_path):
         return None, None
@@ -107,17 +116,21 @@ def release_checkpoint():
     from roadseg_tpu.utils.checkpoint import verify_manifest
     with open(meta_path) as f:
         meta = json.load(f)
-    ckpt = os.path.join(RELEASE_DIR, meta["checkpoint"])
-    if not os.path.isdir(ckpt):
-        print(f"WARNING: release.json names {ckpt} but it is missing; "
-              f"falling back to ./runs", file=sys.stderr)
-        return None, None
-    ok = verify_manifest(ckpt)
-    if ok is False:
-        # non-fatal, like the reference's sha256 check (run.py:143-149)
-        print(f"WARNING: release checkpoint {ckpt} does not match its "
-              f"SHA256SUMS manifest; continuing anyway", file=sys.stderr)
-    return ckpt, meta
+    names = [m["checkpoint"] for m in meta.get("members", ())] \
+        or [meta["checkpoint"]]
+    ckpts = []
+    for name in names:
+        ckpt = os.path.join(RELEASE_DIR, name)
+        if not os.path.isdir(ckpt):
+            print(f"WARNING: release.json names {ckpt} but it is missing; "
+                  f"falling back to ./runs", file=sys.stderr)
+            return None, None
+        if verify_manifest(ckpt) is False:
+            # non-fatal, like the reference's sha256 check (run.py:143-149)
+            print(f"WARNING: release checkpoint {ckpt} does not match its "
+                  f"SHA256SUMS manifest; continuing anyway", file=sys.stderr)
+        ckpts.append(ckpt)
+    return ckpts, meta
 
 
 def main(argv=None):
@@ -171,18 +184,21 @@ def main(argv=None):
         opts.batch_size = SUBMISSION_CONFIG["batch_size"]
         opts.stride = SUBMISSION_CONFIG["stride"]
         opts.image_augmentation = False
+        ensemble_ckpts = []
     else:
         from roadseg_tpu.utils import checkpoint as ckpt_lib
-        ckpt, meta = args.model, None
-        if ckpt is None and args.dilated is None:
-            ckpt, meta = release_checkpoint()
+        ckpts, meta = ([args.model] if args.model else None), None
+        if ckpts is None and args.dilated is None:
+            ckpts, meta = release_checkpoint()
             if meta is not None:
                 # the release decides the model geometry
                 config.update(meta.get("model", {}))
-                print(f"using release model {meta['checkpoint']} "
+                kind = (f"{len(ckpts)}-member ensemble" if len(ckpts) > 1
+                        else f"model {meta['checkpoint']}")
+                print(f"using release {kind} "
                       f"(from {meta['source_experiment']} "
                       f"epoch {meta['source_epoch']})")
-        if ckpt is None:
+        if ckpts is None:
             # restrict the newest-checkpoint search to the pinned (or
             # --dilated-selected) architecture so a mixed runs/ population
             # can't hand us a mismatched param tree (round-2 footgun)
@@ -190,16 +206,17 @@ def main(argv=None):
             ckpt = newest_checkpoint(args.save_path, geometry=want)
             if ckpt is None and args.dilated is None:
                 ckpt = newest_checkpoint(args.save_path)  # any architecture
-        if ckpt is None:
+            ckpts = [ckpt] if ckpt else None
+        if ckpts is None:
             print("No checkpoint found. Train one first:  ./run.py --train",
                   file=sys.stderr)
             return 1
         if meta is None:
-            geo = ckpt_lib.read_geometry(ckpt)
+            geo = ckpt_lib.read_geometry(ckpts[0])
             if geo is not None and geo != {k: config[k]
                                            for k in ckpt_lib.GEOMETRY_KEYS}:
                 if args.dilated is not None:
-                    print(f"checkpoint {ckpt} is "
+                    print(f"checkpoint {ckpts[0]} is "
                           f"{ckpt_lib.describe_geometry(geo)} but "
                           f"--dilated {int(args.dilated)} was requested; "
                           f"pass --model with a matching checkpoint",
@@ -210,13 +227,21 @@ def main(argv=None):
                       f"{ckpt_lib.describe_geometry(geo)}")
         opts = build_opts()
         model = Engine(opts)
-        model.restore(file=ckpt)
+        model.restore(file=ckpts[0])
+        ensemble_ckpts = ckpts[1:]
 
     test_dir = os.path.join(data_root, "test")
     imgs = images_io.load(test_dir)
     print(f"Running prediction on {imgs.shape[0]} test images...")
     start = time.time()
     masks = model.predict_batchwise(imgs, opts.pred_batch_size)
+    for extra in ensemble_ckpts:
+        # ensemble release: average the members' probability masks before
+        # quantizing (scripts/ensemble_runs.py semantics)
+        model.restore(file=extra)
+        masks = masks + model.predict_batchwise(imgs, opts.pred_batch_size)
+    if ensemble_ckpts:
+        masks = np.asarray(masks) / (1 + len(ensemble_ckpts))
     stop = time.time()
     print(f"Prediction time: {(stop - start) / 60:.2f} mins "
           f"({imgs.shape[0] / (stop - start):.3f} img/s)")

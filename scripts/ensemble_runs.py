@@ -12,6 +12,12 @@ way to recover that stability.
 Usage:
   python scripts/ensemble_runs.py --member DATE:EPOCH --member DATE:EPOCH
       [--dilated 0] [--dtype bf16|f32] [--out artifacts/ensemble]
+
+Members may span architectures (e.g. non-dilated seeds + a dilated run):
+each member's geometry is read from its checkpoint sidecar and an Engine
+is (re)built per geometry. Predicted probability masks are cached under
+``--mask_cache`` keyed by member id, so re-scoring a different member
+subset is pure host-side arithmetic — no TPU time.
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ from roadseg_tpu.constants import FOREGROUND_THRESHOLD, IMG_PATCH_SIZE
 from roadseg_tpu.engine import Engine
 from roadseg_tpu.ops import geometry
 from roadseg_tpu.utils import images_io
+from roadseg_tpu.utils.checkpoint import Checkpointer, read_geometry
 from roadseg_tpu.utils.scoring import compare_submissions
 
 REF_BEST = ("/root/reference/submissions/2017-12-17T10h55m14s_multi_rotation"
@@ -53,25 +60,52 @@ def main(argv=None):
                    choices=("bfloat16", "float32"),
                    help="inference activation dtype")
     p.add_argument("--out", default="artifacts/ensemble")
+    p.add_argument("--mask_cache", default="artifacts/mask_cache",
+                   help="dir of per-member probability-mask .npy files; "
+                        "'' disables caching")
     args = p.parse_args(argv)
 
-    opts = Options(num_layers=args.layers, root_size=args.root_size,
-                   dilated_layers=args.dilated, patch_size=388,
-                   stride=args.stride, batch_size=args.chunk,
-                   dtype=args.dtype,
-                   ensemble_prediction=True, num_epoch=0,
-                   save_path=os.path.abspath(args.save_path),
-                   logdir="/tmp/ensemble_logs")
-    eng = Engine(opts)
-    imgs = images_io.load(images_io.resolve_data_dir("test"))
+    save_path = os.path.abspath(args.save_path)
+    default_geo = {"num_layers": args.layers, "root_size": args.root_size,
+                   "dilated_layers": args.dilated}
+
+    def build_engine(geo):
+        opts = Options(**geo, patch_size=388,
+                       stride=args.stride, batch_size=args.chunk,
+                       dtype=args.dtype,
+                       ensemble_prediction=True, num_epoch=0,
+                       save_path=save_path, logdir="/tmp/ensemble_logs")
+        return Engine(opts)
+
+    imgs = None
+    eng, eng_geo = None, None
+    if args.mask_cache:
+        os.makedirs(args.mask_cache, exist_ok=True)
 
     acc = None
     for mem in args.member:
         date, epoch = mem.rsplit(":", 1)
-        eng.restore(date=date, epoch=int(epoch))
-        t0 = time.time()
-        masks = eng.predict_batchwise(imgs, args.pred_batch)
-        print(f"{mem}: predicted in {time.time() - t0:.1f}s")
+        cache_file = (os.path.join(args.mask_cache,
+                                   f"{date}_epoch{int(epoch):03d}.npy")
+                      if args.mask_cache else None)
+        if cache_file and os.path.exists(cache_file):
+            masks = np.load(cache_file)
+            print(f"{mem}: cached masks {masks.shape}")
+        else:
+            path = Checkpointer(save_path, date).resolve(
+                date=date, epoch=int(epoch))
+            geo = read_geometry(path) or default_geo
+            if eng is None or geo != eng_geo:
+                eng, eng_geo = build_engine(geo), geo
+            if imgs is None:
+                imgs = images_io.load(images_io.resolve_data_dir("test"))
+            eng.restore(date=date, epoch=int(epoch))
+            t0 = time.time()
+            masks = np.asarray(eng.predict_batchwise(imgs, args.pred_batch),
+                               np.float32)
+            print(f"{mem}: predicted in {time.time() - t0:.1f}s")
+            if cache_file:
+                np.save(cache_file, masks)
         acc = masks if acc is None else acc + masks
     mean = np.asarray(acc) / len(args.member)
 

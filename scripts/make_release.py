@@ -19,6 +19,16 @@ release and how to verify a copy of them.
 
 Usage: python scripts/make_release.py --date DIR --epoch N
            [--score-json '{"agreement": 0.97}'] [--notes "..."]
+
+An *ensemble* release packages several member checkpoints (the round-3
+parity finding: independent seeds' probability-mask average beats any
+single run — PARITY.md round 3):
+
+    python scripts/make_release.py --member DATE:EPOCH --member DATE:EPOCH
+
+``run.py`` then restores every member and averages the predicted
+probability masks before quantizing, exactly like
+``scripts/ensemble_runs.py``. All members must share one model geometry.
 """
 
 from __future__ import annotations
@@ -43,9 +53,12 @@ RELEASE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--save_path", default="runs")
-    p.add_argument("--date", required=True,
+    p.add_argument("--date", default=None,
                    help="experiment dir under --save_path")
-    p.add_argument("--epoch", type=int, required=True)
+    p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--member", action="append", default=None,
+                   help="DATE:EPOCH, repeatable — package an ensemble "
+                        "release instead of a single checkpoint")
     p.add_argument("--layers", type=int, default=None,
                    help="override; default: read from the checkpoint")
     p.add_argument("--root_size", type=int, default=None,
@@ -58,16 +71,32 @@ def main(argv=None):
     p.add_argument("--out", default=RELEASE_DIR)
     args = p.parse_args(argv)
 
-    ckpt = Checkpointer(args.save_path, args.date)
-    src = ckpt.resolve(date=args.date, epoch=args.epoch)
-    if not os.path.isdir(src):
-        raise SystemExit(f"checkpoint not found: {src}")
-    ok = verify_manifest(src)
-    if ok is False:
-        raise SystemExit(f"refusing to release {src}: manifest mismatch")
+    if args.member:
+        if args.date is not None or args.epoch is not None:
+            raise SystemExit("--member and --date/--epoch are exclusive")
+        members = [m.rsplit(":", 1) for m in args.member]
+        members = [(d, int(e)) for d, e in members]
+    elif args.date is None or args.epoch is None:
+        raise SystemExit("pass --date + --epoch, or --member DATE:EPOCH ...")
+    else:
+        members = [(args.date, args.epoch)]
 
-    # model geometry: the checkpoint's own record, with flag overrides
-    geo = read_geometry(src) or {}
+    srcs = []
+    for date, epoch in members:
+        ckpt = Checkpointer(args.save_path, date)
+        src = ckpt.resolve(date=date, epoch=epoch)
+        if not os.path.isdir(src):
+            raise SystemExit(f"checkpoint not found: {src}")
+        if verify_manifest(src) is False:
+            raise SystemExit(f"refusing to release {src}: manifest mismatch")
+        srcs.append(src)
+
+    # model geometry: the checkpoints' own record, with flag overrides;
+    # ensemble members must agree (one Engine serves all of them)
+    geos = [read_geometry(s) or {} for s in srcs]
+    if any(g != geos[0] for g in geos[1:]):
+        raise SystemExit(f"member geometries differ: {geos}")
+    geo = dict(geos[0])
     if args.layers is not None:
         geo["num_layers"] = args.layers
     if args.root_size is not None:
@@ -80,24 +109,37 @@ def main(argv=None):
                          f"{src}; pass --layers/--root_size/--dilated")
 
     os.makedirs(args.out, exist_ok=True)
-    # exactly one checkpoint per release
+    # the release holds exactly this member set, nothing stale
     for old in os.listdir(args.out):
         full = os.path.join(args.out, old)
         if old.endswith(".chkpt") and os.path.isdir(full):
             shutil.rmtree(full)
-    dst = os.path.join(args.out, os.path.basename(src))
-    shutil.copytree(src, dst)
-    if verify_manifest(dst) is False:
-        raise SystemExit("copy corrupted: manifest mismatch after copytree")
 
-    manifest = os.path.join(dst, "SHA256SUMS")
-    digest = hashlib.sha256(open(manifest, "rb").read()).hexdigest()
+    packaged = []
+    for (date, epoch), src in zip(members, srcs):
+        # member dir names carry the experiment so two runs' same-numbered
+        # epochs cannot collide (Orbax restores by path, name is free-form)
+        base = (os.path.basename(src) if len(members) == 1
+                else f"{date}-epoch-{epoch:03d}.chkpt")
+        dst = os.path.join(args.out, base)
+        shutil.copytree(src, dst)
+        if verify_manifest(dst) is False:
+            raise SystemExit(
+                "copy corrupted: manifest mismatch after copytree")
+        manifest = os.path.join(dst, "SHA256SUMS")
+        digest = hashlib.sha256(open(manifest, "rb").read()).hexdigest()
+        packaged.append({"checkpoint": base, "source_experiment": date,
+                         "source_epoch": epoch, "manifest_sha256": digest})
+
     meta = {
-        "checkpoint": os.path.basename(dst),
-        "source_experiment": args.date,
-        "source_epoch": args.epoch,
+        # single-model fields kept for the 1-member case (back-compat with
+        # run.py's older release.json readers); "members" is authoritative
+        "checkpoint": packaged[0]["checkpoint"],
+        "source_experiment": packaged[0]["source_experiment"],
+        "source_epoch": packaged[0]["source_epoch"],
+        "manifest_sha256": packaged[0]["manifest_sha256"],
+        "members": packaged,
         "created": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        "manifest_sha256": digest,
         "model": {k: geo[k]
                   for k in ("num_layers", "root_size", "dilated_layers")},
         "scores": json.loads(getattr(args, "score_json")),
@@ -106,7 +148,7 @@ def main(argv=None):
     with open(os.path.join(args.out, "release.json"), "w") as f:
         json.dump(meta, f, indent=2)
         f.write("\n")
-    print(f"release packaged: {dst}")
+    print(f"release packaged: {len(packaged)} member(s) in {args.out}")
     print(json.dumps(meta, indent=2))
     return 0
 

@@ -55,7 +55,8 @@ def test_make_release_and_run_preference(tiny_run, monkeypatch):
     # run.py prefers the verified release and adopts its geometry
     import run as run_script
     monkeypatch.setattr(run_script, "RELEASE_DIR", str(out))
-    ckpt, meta2 = run_script.release_checkpoint()
+    ckpts2, meta2 = run_script.release_checkpoint()
+    (ckpt,) = ckpts2
     assert ckpt.endswith("model-epoch-004.chkpt")
     assert meta2["model"]["num_layers"] == 2
 
@@ -68,8 +69,52 @@ def test_make_release_and_run_preference(tiny_run, monkeypatch):
     with open(victim, "ab") as f:
         f.write(b"x")
     assert verify_manifest(ckpt) is False
-    ckpt2, _ = run_script.release_checkpoint()
-    assert ckpt2 == ckpt  # still returned — caller warns, not crashes
+    ckpts3, _ = run_script.release_checkpoint()
+    assert ckpts3 == [ckpt]  # still returned — caller warns, not crashes
+
+
+def test_make_ensemble_release(tiny_run, monkeypatch):
+    """--member DATE:EPOCH x N packages every member; run.py returns the
+    full member list for mask averaging (PARITY.md round 3)."""
+    eng, tmp_path = tiny_run
+    eng.save(epoch=4)
+    from scripts import make_release
+    out = tmp_path / "release"
+    rc = make_release.main([
+        "--save_path", str(tmp_path / "runs"),
+        "--member", f"{eng.experiment_name}:3",
+        "--member", f"{eng.experiment_name}:4",
+        "--layers", "2", "--root_size", "4", "--dilated", "0",
+        "--score-json", '{"agreement": 0.9718}',
+        "--out", str(out)])
+    assert rc == 0
+    meta = json.loads((out / "release.json").read_text())
+    assert len(meta["members"]) == 2
+    names = [m["checkpoint"] for m in meta["members"]]
+    assert names == [f"{eng.experiment_name}-epoch-003.chkpt",
+                     f"{eng.experiment_name}-epoch-004.chkpt"]
+    for name in names:
+        assert (out / name / "SHA256SUMS").exists()
+
+    import run as run_script
+    monkeypatch.setattr(run_script, "RELEASE_DIR", str(out))
+    ckpts, meta2 = run_script.release_checkpoint()
+    assert [os.path.basename(c) for c in ckpts] == names
+    assert meta2["model"]["dilated_layers"] is False
+
+    # the restored members are loadable Engine checkpoints
+    eng.restore(file=ckpts[1])
+
+
+def test_member_and_date_are_exclusive(tiny_run):
+    eng, tmp_path = tiny_run
+    from scripts import make_release
+    with pytest.raises(SystemExit, match="exclusive"):
+        make_release.main([
+            "--save_path", str(tmp_path / "runs"),
+            "--date", eng.experiment_name, "--epoch", "3",
+            "--member", f"{eng.experiment_name}:3",
+            "--out", str(tmp_path / "r")])
 
 
 def test_release_refuses_corrupt_source(tiny_run):
