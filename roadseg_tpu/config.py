@@ -78,6 +78,13 @@ class Options:
     decay_steps: int = 1000
     # Rematerialize encoder blocks in the backward pass to trade FLOPs for HBM.
     remat: bool = False
+    # Gradient accumulation: each optimizer step averages grads over
+    # `grad_accum` microbatches of `batch_size` (a lax.scan over the
+    # microbatch fwd/bwd), giving effective batch `grad_accum*batch_size`
+    # while the compiled program stays one-microbatch-sized — the route to
+    # batch 16+ past the remote-compile-helper program-size limit
+    # (docs/SCALING.md). 1 = off.
+    grad_accum: int = 1
     # Emit a jax.profiler trace (TensorBoard-loadable) of the first epoch.
     profile: bool = False
     # Per-step "Batch N Step M" log cadence. 0 = auto: every step on a TTY
@@ -195,6 +202,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="LR staircase transition length in optimizer steps "
                         "(1000//batch_size = reference batch-1 anneal)")
     boolean("remat", d.remat, "Rematerialize encoder blocks in backward pass")
+    p.add_argument("--grad_accum", type=int, default=d.grad_accum,
+                   help="Microbatches averaged per optimizer step "
+                        "(effective batch = grad_accum*batch_size); 1 = off")
     boolean("profile", d.profile, "Profile the first training epoch")
     p.add_argument("--log_every", type=int, default=d.log_every,
                    help="Steps between per-step log lines (0 = auto: every "

@@ -263,7 +263,10 @@ class Engine:
                 return img, gt
             return jax.vmap(one)(idx)
 
-        def step_fn(state, ext_imgs, ext_gt, idx, rng):
+        accum = max(1, int(opts.grad_accum))
+
+        def micro_grads(params, ext_imgs, ext_gt, idx, rng):
+            """Gradients/loss/pixel-errors for one microbatch of indices."""
             idx = jax.lax.with_sharding_constraint(idx, data_sharding)
             patches8, gt8 = gather(ext_imgs, ext_gt, idx)
             patches = patches8.astype(jnp.float32) / constants.PIXEL_DEPTH
@@ -286,12 +289,44 @@ class Engine:
                 return ce.mean(), probs
 
             (loss, probs), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state["params"])
+                loss_fn, has_aux=True)(params)
+            # running pixel "errors" like tf_aerial_images.py:249-251
+            errors = jnp.sum(jnp.abs(labels.astype(jnp.float32) - probs))
+            return grads, loss, errors
+
+        def step_fn(state, ext_imgs, ext_gt, idx, rng):
+            if accum == 1:
+                grads, loss, errors = micro_grads(
+                    state["params"], ext_imgs, ext_gt, idx, rng)
+            else:
+                # Effective batch accum*batch_size: lax.scan over
+                # microbatches keeps the compiled program one-microbatch-
+                # sized (the remote compile helper rejects a monolithic
+                # batch-16 fwd/bwd — docs/SCALING.md), at the cost of one
+                # f32 grad buffer held across the scan.
+                mb_idx = idx.reshape(accum, -1, idx.shape[-1])
+                mb_rng = jax.random.split(rng, accum)
+
+                def micro(carry, inp):
+                    g_acc, loss_acc, err_acc = carry
+                    g, loss, errors = micro_grads(
+                        state["params"], ext_imgs, ext_gt, inp[0], inp[1])
+                    return (jax.tree.map(jnp.add, g_acc, g),
+                            loss_acc + loss, err_acc + errors), None
+
+                g0 = jax.tree.map(jnp.zeros_like, state["params"])
+                (g_sum, loss_sum, errors), _ = jax.lax.scan(
+                    micro, (g0, jnp.float32(0), jnp.float32(0)),
+                    (mb_idx, mb_rng))
+                # mean-of-means == mean over the effective batch (equal
+                # microbatch sizes), so the update matches a monolithic
+                # batch of accum*batch_size samples exactly
+                grads = jax.tree.map(lambda x: x / accum, g_sum)
+                loss = loss_sum / accum
+
             updates, opt_state = tx.update(grads, state["opt_state"],
                                            state["params"])
             params = optax.apply_updates(state["params"], updates)
-            # running pixel "errors" like tf_aerial_images.py:249-251
-            errors = jnp.sum(jnp.abs(labels.astype(jnp.float32) - probs))
             new_state = {"step": state["step"] + 1, "params": params,
                          "opt_state": opt_state}
             return new_state, {"loss": loss, "errors": errors}
@@ -330,7 +365,9 @@ class Engine:
 
         num_errors, total = 0.0, 0
         was_interrupted = False
-        b = opts.batch_size
+        # each optimizer step consumes one effective batch (grad_accum
+        # microbatches of batch_size samples)
+        b = opts.batch_size * max(1, int(opts.grad_accum))
         # Per-step log cadence: the reference prints "Batch N Step M" every
         # step (tf_aerial_images.py:246) — kept on a TTY via \r overwrite,
         # but rate-limited to plain lines when stdout is redirected so a

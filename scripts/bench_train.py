@@ -32,13 +32,15 @@ FWD_GFLOPS = 867.7
 def run_variant(name: str, batch: int, steps: int, *, remat: bool,
                 conv_impl: str, dtype: str = "bfloat16",
                 num_layers: int = 6, root_size: int = 64,
-                patch_size: int = 388, dilated: bool = True) -> dict:
+                patch_size: int = 388, dilated: bool = True,
+                grad_accum: int = 1) -> dict:
     opts = Options(
         num_layers=num_layers, root_size=root_size, dilated_layers=dilated,
         patch_size=patch_size, stride=12, batch_size=batch,
         dropout=1.0, image_augmentation=True, lr=0.01,
         num_epoch=1, eval_every=0, train_score_every=0,
         remat=remat, conv_impl=conv_impl, dtype=dtype,
+        grad_accum=grad_accum,
         save_path="/tmp/bench_train", logdir="/tmp/bench_train/logs",
     )
     eng = Engine(opts)
@@ -50,7 +52,8 @@ def run_variant(name: str, batch: int, steps: int, *, remat: bool,
 
     import jax
     table = eng._index_table
-    idx = np.tile(table, (max(1, -(-batch // len(table))), 1))[:batch]
+    eff = batch * max(1, grad_accum)
+    idx = np.tile(table, (max(1, -(-eff // len(table))), 1))[:eff]
     step_fn = eng._build_train_step()
     import jax.numpy as jnp
     idx_dev = jax.device_put(jnp.asarray(idx), eng._data_sharding)
@@ -67,17 +70,19 @@ def run_variant(name: str, batch: int, steps: int, *, remat: bool,
         state, m = step_fn(state, eng._ext_imgs, eng._ext_gt, idx_dev, key)
         float(jax.device_get(m["loss"]))
     dt = (time.time() - t0) / steps
+    eff_batch = batch * max(1, grad_accum)
     out = {
-        "variant": name, "batch": batch, "remat": remat,
+        "variant": name, "batch": batch, "grad_accum": grad_accum,
+        "eff_batch": eff_batch, "remat": remat,
         "dilated": dilated,
         "conv_impl": conv_impl, "dtype": dtype,
         "s_per_step": round(dt, 4),
         "steps_per_s": round(1.0 / dt, 3),
-        "samples_per_s": round(batch / dt, 2),
+        "samples_per_s": round(eff_batch / dt, 2),
     }
     if (num_layers, root_size, patch_size) == (6, 64, 388) and dilated:
         # fwd + bwd(2x) + remat re-fwd (1x when on)
-        flops = FWD_GFLOPS * 1e9 * batch * (4.0 if remat else 3.0)
+        flops = FWD_GFLOPS * 1e9 * eff_batch * (4.0 if remat else 3.0)
         out["model_tflops"] = round(flops / dt / 1e12, 1)
     return out
 
@@ -100,6 +105,8 @@ def main(argv=None):
         "pallas_remat": dict(remat=True, conv_impl="pallas"),
         "hybrid": dict(remat=False, conv_impl="hybrid"),
         "f32": dict(remat=False, conv_impl="xla", dtype="float32"),
+        "accum2": dict(remat=False, conv_impl="xla", grad_accum=2),
+        "accum4": dict(remat=False, conv_impl="xla", grad_accum=4),
     }
     for name in args.variants.split(","):
         try:

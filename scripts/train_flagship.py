@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--val", type=int, default=10)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step (effective batch "
+                        "= batch*grad_accum; scale --lr accordingly)")
     p.add_argument("--lr", type=float, default=0.08)
     p.add_argument("--stride", type=int, default=12)
     # the reference's published training recipe (README.md:55-70):
@@ -72,10 +75,11 @@ def main(argv=None):
 
     decay_steps = args.decay_steps
     if decay_steps is None:
-        decay_steps = max(1, 1000 // args.batch)
+        decay_steps = max(1, 1000 // (args.batch * args.grad_accum))
     opts = Options(
         num_layers=args.layers, root_size=64, dilated_layers=args.dilated,
         patch_size=388, stride=args.stride, batch_size=args.batch,
+        grad_accum=args.grad_accum,
         dropout=args.dropout, image_augmentation=True, rotation_angles=angles,
         lr=args.lr, momentum=0.9, num_epoch=args.epochs,
         decay_steps=decay_steps,

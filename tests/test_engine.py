@@ -245,3 +245,32 @@ def test_sharded_training_matches_single_device(tmp_path, data):
     assert losses_1.shape == losses_8.shape and losses_1.size == 24
     np.testing.assert_allclose(losses_1, losses_8, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(head_1, head_8, rtol=2e-3, atol=2e-3)
+
+
+def test_grad_accum_matches_monolithic_batch(tmp_path, data):
+    """One optimizer step at batch_size=2, grad_accum=2 must equal a
+    monolithic batch-4 step on the same 4 samples: microbatch-mean grads
+    averaged over the scan == the full-batch mean gradient (engine
+    `step_fn`'s accum path). Augmentation off / dropout deterministic so
+    the step is rng-independent."""
+    imgs, gt = data
+
+    def one_step(batch_size, grad_accum):
+        opts = tiny_opts(tmp_path, lr=0.05, batch_size=batch_size,
+                         grad_accum=grad_accum, image_augmentation=False,
+                         dropout=1.0)
+        eng = Engine(opts)
+        eng.prepare_training_data(imgs, gt, rotation_angles=[0])
+        step_fn = eng._build_train_step()
+        idx = np.asarray(eng._index_table[:4])
+        state, metrics = step_fn(eng.state, eng._ext_imgs, eng._ext_gt,
+                                 idx, jax.random.PRNGKey(7))
+        return (jax.device_get(state["params"]),
+                {k: float(jax.device_get(v)) for k, v in metrics.items()})
+
+    params_mono, m_mono = one_step(4, 1)
+    params_accum, m_accum = one_step(2, 2)
+    assert m_accum["loss"] == pytest.approx(m_mono["loss"], rel=1e-5)
+    assert m_accum["errors"] == pytest.approx(m_mono["errors"], rel=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, rtol=1e-4, atol=1e-5), params_mono, params_accum)
