@@ -1,0 +1,100 @@
+"""The host-side ensemble subset scorer must match the real pipeline.
+
+``scripts/ensemble_search.py`` re-scores member subsets in vectorized
+NumPy so the search runs at ~0.1 s/subset instead of a full
+quantize -> CSV -> compare round-trip. Its docstring claims equivalence
+with ``geometry.quantize_mask`` + ``images_io.save_submission_csv`` +
+``scoring.compare_submissions`` (the path ``scripts/ensemble_runs.py``
+uses for the shipped artifact); this pins that equivalence on synthetic
+masks, including values straddling the 0.5 pixel and
+FOREGROUND_THRESHOLD patch boundaries.
+
+Reference counterpart: the reference ensembles at logit level inside
+one process (``tf_aerial_images.py:458-476``) and has no subset-search
+tooling; the mask-cache search layer is ours, so it gets its own oracle
+test.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+import ensemble_search  # noqa: E402
+
+from roadseg_tpu.constants import FOREGROUND_THRESHOLD, IMG_PATCH_SIZE
+from roadseg_tpu.ops import geometry
+from roadseg_tpu.utils import images_io
+from roadseg_tpu.utils.scoring import compare_submissions
+
+
+def _pipeline_score(mean_mask: np.ndarray, ref_mask: np.ndarray,
+                    tmp_path) -> dict:
+    """Score via the real artifact pipeline (the ensemble_runs.py path)."""
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    q_a = np.asarray(geometry.quantize_mask(
+        mean_mask[..., None], threshold=FOREGROUND_THRESHOLD,
+        patch_size=IMG_PATCH_SIZE))
+    images_io.save_submission_csv(q_a, out_a, IMG_PATCH_SIZE)
+    images_io.save_submission_csv(ref_mask[..., None], out_b, IMG_PATCH_SIZE)
+    return compare_submissions(os.path.join(out_a, "submission.csv"),
+                               os.path.join(out_b, "submission.csv"))
+
+
+@pytest.fixture(scope="module")
+def synthetic():
+    rng = np.random.default_rng(7)
+    n, hw = 3, IMG_PATCH_SIZE * 4  # 3 images, 4x4 patches each
+    # Probabilities concentrated near the 0.5 pixel threshold so patch
+    # fractions land on both sides of FOREGROUND_THRESHOLD.
+    masks = rng.uniform(0.3, 0.7, size=(4, n, hw, hw)).astype(np.float32)
+    ref_mask = (rng.uniform(size=(n, hw, hw)) < 0.3).astype(np.float32)
+    return masks, ref_mask
+
+
+def test_search_score_matches_pipeline(synthetic, tmp_path):
+    masks, ref_mask = synthetic
+    mean = masks.mean(axis=0)
+    got = _pipeline_score(mean, ref_mask, tmp_path)
+
+    # Reference labels the way the search loads them: via the written CSV.
+    ref_csv = os.path.join(str(tmp_path), "b", "submission.csv")
+    pps = ref_mask.shape[1] // IMG_PATCH_SIZE
+    ref = ensemble_search.load_ref_labels(ref_csv, ref_mask.shape[0], pps)
+    want = ensemble_search.score(mean, ref)
+
+    for key in ("agreement", "f1_vs_ref", "road_frac_a", "road_frac_b"):
+        assert want[key] == pytest.approx(got[key], abs=1e-12), key
+    assert want["total"] == got["total"]
+
+
+def test_load_ref_labels_roundtrip(synthetic, tmp_path):
+    _, ref_mask = synthetic
+    out = str(tmp_path / "rt")
+    images_io.save_submission_csv(ref_mask[..., None], out, IMG_PATCH_SIZE)
+    pps = ref_mask.shape[1] // IMG_PATCH_SIZE
+    ref = ensemble_search.load_ref_labels(
+        os.path.join(out, "submission.csv"), ref_mask.shape[0], pps)
+    # ref is [img, x-block, y-block]; recompute directly from the mask.
+    n = ref_mask.shape[0]
+    p = IMG_PATCH_SIZE
+    frac = ref_mask.reshape(n, pps, p, pps, p).mean(axis=(2, 4))  # [n, y, x]
+    want = (frac.transpose(0, 2, 1) > FOREGROUND_THRESHOLD).astype(np.int8)
+    np.testing.assert_array_equal(ref, want)
+
+
+def test_subset_mean_binarization_order(synthetic):
+    """Pixel binarization happens AFTER the member mean, not per member."""
+    masks, ref_mask = synthetic
+    pps = ref_mask.shape[1] // IMG_PATCH_SIZE
+    mean = masks.mean(axis=0)
+    pm = ensemble_search.patch_probs(mean, pps)
+    # Averaging already-binarized members would give a different field.
+    per_member = np.stack([(m >= 0.5).astype(np.float32) for m in masks])
+    n, h, w = mean.shape
+    p = IMG_PATCH_SIZE
+    alt = per_member.mean(axis=0).reshape(n, pps, p, pps, p).mean(axis=(2, 4))
+    assert not np.allclose(pm, alt)
