@@ -65,6 +65,20 @@ def main(argv=None):
                         "'' disables caching")
     args = p.parse_args(argv)
 
+    def _cache_file(mem):
+        if not args.mask_cache:
+            return None
+        date, epoch = mem.rsplit(":", 1)
+        return os.path.join(args.mask_cache,
+                            f"{date}_epoch{int(epoch):03d}.npy")
+
+    if all(f and os.path.exists(f) for f in map(_cache_file, args.member)):
+        # Every member is cached: the remaining work (mask averaging,
+        # quantize, CSV) is trivial — run it on CPU so a downed TPU
+        # tunnel can't hang a pure re-scoring pass.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     save_path = os.path.abspath(args.save_path)
     default_geo = {"num_layers": args.layers, "root_size": args.root_size,
                    "dilated_layers": args.dilated}
