@@ -63,6 +63,8 @@ def main(argv=None):
     p.add_argument("--mask_cache", default="artifacts/mask_cache",
                    help="dir of per-member probability-mask .npy files; "
                         "'' disables caching")
+    p.add_argument("--ref", default=REF_BEST,
+                   help="reference submission CSV to score against")
     args = p.parse_args(argv)
 
     def _cache_file(mem):
@@ -128,7 +130,7 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     images_io.save_submission_csv(q, args.out, IMG_PATCH_SIZE)
     result = compare_submissions(os.path.join(args.out, "submission.csv"),
-                                 REF_BEST)
+                                 args.ref)
     result["members"] = args.member
     print(json.dumps(result))
     with open(os.path.join(args.out, "parity.json"), "w") as f:

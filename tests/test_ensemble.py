@@ -98,3 +98,36 @@ def test_subset_mean_binarization_order(synthetic):
     p = IMG_PATCH_SIZE
     alt = per_member.mean(axis=0).reshape(n, pps, p, pps, p).mean(axis=(2, 4))
     assert not np.allclose(pm, alt)
+
+
+def test_ensemble_runs_all_cached_scores_without_device(synthetic, tmp_path):
+    """ensemble_runs.main() with every member cached is a pure host
+    re-scoring pass: it must not need any checkpoint or TPU predict,
+    and its parity.json must match the search scorer on the same mean."""
+    import ensemble_runs
+
+    masks, ref_mask = synthetic
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    members = []
+    for i, m in enumerate(masks[:2]):
+        np.save(cache / f"2020-01-01T00h00m0{i}s_epoch00{i}.npy",
+                m[..., None])
+        members += ["--member", f"2020-01-01T00h00m0{i}s:{i}"]
+    ref_dir = str(tmp_path / "ref")
+    images_io.save_submission_csv(ref_mask[..., None], ref_dir,
+                                  IMG_PATCH_SIZE)
+    out = str(tmp_path / "out")
+    rc = ensemble_runs.main(members + [
+        "--mask_cache", str(cache), "--out", out,
+        "--ref", os.path.join(ref_dir, "submission.csv"),
+        "--save_path", str(tmp_path / "no_runs")])
+    assert rc == 0
+    import json
+    with open(os.path.join(out, "parity.json")) as f:
+        got = json.load(f)
+    pps = ref_mask.shape[1] // IMG_PATCH_SIZE
+    ref = ensemble_search.load_ref_labels(
+        os.path.join(ref_dir, "submission.csv"), ref_mask.shape[0], pps)
+    want = ensemble_search.score(masks[:2].mean(axis=0), ref)
+    assert got["agreement"] == pytest.approx(want["agreement"], abs=1e-12)
