@@ -51,6 +51,15 @@ RELEASE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def main(argv=None):
+    # Packaging is pure file IO (copy + SHA-256 verify), but constructing
+    # the Orbax Checkpointer initializes the jax backend — force CPU so a
+    # downed TPU tunnel cannot hang a release build. (No-op under the
+    # test suite, which already runs on CPU.)
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized by the calling process
     p = argparse.ArgumentParser()
     p.add_argument("--save_path", default="runs")
     p.add_argument("--date", default=None,
