@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""End-game parity pipeline over the populated mask cache.
+
+One command turns cached probability masks into the shipped result:
+
+  1. subset search over ALL cached masks (`ensemble_search.main`),
+  2. re-score the winning subset through the REAL artifact pipeline
+     (`ensemble_runs.main`, pure CPU when fully cached) — this is the
+     oracle cross-check of the vectorized search scorer,
+  3. refresh `artifacts/release/` with the winning members + score
+     (`make_release.main`), so `./run.py` reproduces exactly this
+     submission from SHA-verified weights.
+
+Reference counterpart: the reference ships one hand-picked checkpoint in
+``run.py:121-177``; the search-then-package flow is this repo's answer to
+its winner being an unreproducible single training lottery ticket
+(PARITY.md round 3).
+
+Usage: python scripts/finalize_parity.py [--max_k 10]
+           [--cache artifacts/mask_cache] [--out artifacts/ensemble_final]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--cache", default="artifacts/mask_cache")
+    p.add_argument("--max_k", type=int, default=10)
+    p.add_argument("--out", default="artifacts/ensemble_final")
+    p.add_argument("--search_json", default="artifacts/ensemble_search.json")
+    p.add_argument("--skip_release", action="store_true")
+    args = p.parse_args(argv)
+
+    import ensemble_runs
+    import ensemble_search
+
+    rc = ensemble_search.main(["--cache", args.cache,
+                               "--max_k", str(args.max_k),
+                               "--out", args.search_json])
+    if rc:
+        return rc
+    with open(args.search_json) as f:
+        search = json.load(f)
+    best_k, best = max(search["best_by_k"].items(),
+                       key=lambda kv: kv[1]["agreement"])
+    names = best["members"]  # "<date>_epochNNN"
+    members = []
+    for n in names:
+        date, ep = n.rsplit("_epoch", 1)
+        members.append(f"{date}:{int(ep)}")
+    print(f"best subset k={best_k}: agreement {best['agreement']:.5f}")
+
+    rc = ensemble_runs.main(
+        [a for m in members for a in ("--member", m)]
+        + ["--mask_cache", args.cache, "--out", args.out])
+    if rc:
+        return rc
+    with open(os.path.join(args.out, "parity.json")) as f:
+        parity = json.load(f)
+    if abs(parity["agreement"] - best["agreement"]) > 5e-4:
+        print(f"WARNING: pipeline agreement {parity['agreement']:.5f} != "
+              f"search score {best['agreement']:.5f}")
+
+    if not args.skip_release:
+        import make_release
+        rc = make_release.main(
+            [a for m in members for a in ("--member", m)]
+            + ["--score-json", json.dumps(
+                {"agreement": round(parity["agreement"], 5),
+                 "f1_vs_ref": round(parity["f1_vs_ref"], 5)}),
+               "--notes", f"best-{best_k} subset over "
+                          f"{len(search['singles'])} cached masks "
+                          f"(finalize_parity.py)"])
+        if rc:
+            return rc
+    print(json.dumps({"agreement": parity["agreement"],
+                      "members": members}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
