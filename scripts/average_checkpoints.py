@@ -41,6 +41,16 @@ def main(argv=None):
     p.add_argument("--dilated", type=_str2bool, default=True)
     args = p.parse_args(argv)
 
+    # Param averaging is pure host arithmetic: restore to host, mean,
+    # save. Force CPU so a downed TPU tunnel can't hang it (same class
+    # of hang as make_release.py — Orbax/Engine init touches the
+    # backend). No-op under the CPU-forced test suite.
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized by the calling process
+
     save_path = os.path.abspath(args.save_path)
     if args.date is None:
         # newest run dir that actually holds checkpoints (same rule as
@@ -75,7 +85,10 @@ def main(argv=None):
         return 1
 
     avg = average_states(states)
-    out = ckpt.save(avg, args.out_epoch)
+    out = ckpt.save(avg, args.out_epoch,
+                    geometry={"num_layers": args.layers,
+                              "root_size": args.root_size,
+                              "dilated_layers": args.dilated})
     print(f"averaged {len(states)} checkpoints {epochs} -> {out}")
     return 0
 
