@@ -1,0 +1,97 @@
+"""End-to-end ``./run.py`` drive: ensemble release -> restore every
+member -> predict -> mask average -> quantize -> submission CSV.
+
+This is the shipped reproduction flow (reference ``run.py:121-177``);
+the ensemble-average restore is ours (PARITY.md round 3), so it gets an
+oracle: run.py's submission must equal averaging the members'
+``predict_batchwise`` masks directly (ensemble_runs.py semantics).
+"""
+
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from roadseg_tpu.config import Options
+from roadseg_tpu.constants import FOREGROUND_THRESHOLD, IMG_PATCH_SIZE
+from roadseg_tpu.engine import Engine
+from roadseg_tpu.ops import geometry
+from roadseg_tpu.utils import images_io
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+TINY = dict(num_layers=2, root_size=4, patch_size=16, stride=16,
+            batch_size=4, pred_batch_size=2, num_epoch=0,
+            ensemble_prediction=True, dropout=1.0)
+IMG = 2 * IMG_PATCH_SIZE  # 32px -> 2x2 Kaggle patches per image
+
+
+@pytest.fixture()
+def release_and_data(tmp_path):
+    opts = Options(**TINY, seed=11, save_path=str(tmp_path / "runs"),
+                   logdir=str(tmp_path / "logs"))
+    eng = Engine(opts)
+    eng.save(epoch=3)
+    # perturb one conv kernel so the two members genuinely differ and
+    # the averaged mask is not either member's
+    eng.state["params"] = jax.tree.map(
+        lambda x: x + 0.05 * np.sign(np.cos(np.arange(x.size))
+                                     .reshape(x.shape)).astype(x.dtype),
+        eng.state["params"])
+    eng.save(epoch=4)
+
+    from scripts import make_release
+    rel = tmp_path / "release"
+    rc = make_release.main([
+        "--save_path", str(tmp_path / "runs"),
+        "--member", f"{eng.experiment_name}:3",
+        "--member", f"{eng.experiment_name}:4",
+        "--score-json", '{"agreement": 0.5}',
+        "--out", str(rel)])
+    assert rc == 0
+
+    data = tmp_path / "data"
+    (data / "test").mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    for i in range(2):
+        arr = rng.randint(0, 256, size=(IMG, IMG, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(data / "test" / f"test_{i + 1}.png")
+    return eng, rel, data, tmp_path
+
+
+def test_run_main_reproduces_member_mask_average(release_and_data,
+                                                 monkeypatch):
+    eng, rel, data, tmp_path = release_and_data
+    import run as run_script
+    monkeypatch.setattr(run_script, "RELEASE_DIR", str(rel))
+    monkeypatch.setattr(run_script, "SUBMISSION_CONFIG", dict(TINY))
+
+    out = tmp_path / "out"
+    rc = run_script.main(["--data", str(data), "--out", str(out),
+                          "--save_path", str(tmp_path / "runs")])
+    assert rc == 0
+    csv = out / "submission.csv"
+    lines = csv.read_text().strip().split("\n")
+    assert lines[0] == "id,prediction"
+    assert len(lines) == 1 + 2 * (IMG // IMG_PATCH_SIZE) ** 2
+    assert (out / "images_001.png").exists()  # overlays land next to it
+
+    # oracle: average the members' predict_batchwise masks directly
+    imgs = images_io.load(str(data / "test"))
+    meta = json.loads((rel / "release.json").read_text())
+    acc = None
+    for m in meta["members"]:
+        eng.restore(file=str(rel / m["checkpoint"]))
+        masks = np.asarray(eng.predict_batchwise(imgs, 2), np.float32)
+        acc = masks if acc is None else acc + masks
+    mean = acc / len(meta["members"])
+    want = np.asarray(geometry.quantize_mask(
+        mean, threshold=FOREGROUND_THRESHOLD, patch_size=IMG_PATCH_SIZE))
+    images_io.save_submission_csv(want, str(tmp_path / "oracle"),
+                                  IMG_PATCH_SIZE)
+    assert csv.read_text() == \
+        (tmp_path / "oracle" / "submission.csv").read_text()
