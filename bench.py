@@ -22,9 +22,39 @@ import numpy as np
 BASELINE_IMGS_PER_SEC = 1.0 / 6.0
 
 
+def _init_watchdog(seconds: int = 600):
+    """Hard-exit with a JSON error line if the TPU backend doesn't come
+    up within ``seconds``. The axon tunnel, when it is down, hangs
+    device init forever (no RPC error) — a bench that never prints is
+    worse than one that reports the outage. Healthy init (including the
+    tunnel claim leg) takes well under a minute; first jit compiles are
+    separate and happen after the watchdog is cancelled."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "608x608 ensemble inference throughput",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": f"TPU backend init exceeded {seconds}s "
+                     f"(axon tunnel down?)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     num_images = int(os.environ.get("BENCH_IMAGES", "20"))
     pred_chunk = int(os.environ.get("BENCH_PRED_BATCH", "2"))
+
+    watchdog = _init_watchdog(
+        int(os.environ.get("BENCH_INIT_TIMEOUT_S", "600")))
+    import jax
+    jax.devices()  # forces backend init / tunnel claim
+    watchdog.cancel()
 
     from roadseg_tpu.config import Options
     from roadseg_tpu.engine import Engine
