@@ -235,11 +235,24 @@ def main(argv=None):
     print(f"Running prediction on {imgs.shape[0]} test images...")
     start = time.time()
     masks = model.predict_batchwise(imgs, opts.pred_batch_size)
+    if ensemble_ckpts:
+        from roadseg_tpu.utils import checkpoint as ckpt_lib
     for extra in ensemble_ckpts:
         # ensemble release: average the members' probability masks before
-        # quantizing (scripts/ensemble_runs.py semantics)
+        # quantizing (scripts/ensemble_runs.py semantics). Members may
+        # span architectures (mask averaging is geometry-agnostic) — the
+        # Engine is rebuilt whenever the next member's geometry differs.
+        geo = ckpt_lib.read_geometry(extra)
+        cur = {k: config[k] for k in ckpt_lib.GEOMETRY_KEYS}
+        if geo is not None and geo != cur:
+            config.update(geo)
+            print(f"ensemble member {os.path.basename(extra)} is "
+                  f"{ckpt_lib.describe_geometry(geo)}; rebuilding engine")
+            opts = build_opts()
+            model = Engine(opts)
         model.restore(file=extra)
-        masks = masks + model.predict_batchwise(imgs, opts.pred_batch_size)
+        masks = np.asarray(masks) + np.asarray(
+            model.predict_batchwise(imgs, opts.pred_batch_size))
     if ensemble_ckpts:
         masks = np.asarray(masks) / (1 + len(ensemble_ckpts))
     stop = time.time()

@@ -100,11 +100,12 @@ def main(argv=None):
             raise SystemExit(f"refusing to release {src}: manifest mismatch")
         srcs.append(src)
 
-    # model geometry: the checkpoints' own record, with flag overrides;
-    # ensemble members must agree (one Engine serves all of them)
+    # model geometry: the checkpoints' own record, with flag overrides.
+    # Members MAY span geometries (e.g. non-dilated seeds + a dilated
+    # run — mask averaging is architecture-agnostic); run.py rebuilds
+    # its Engine per member geometry, like scripts/ensemble_runs.py.
+    # The top-level "model" records the first member's geometry.
     geos = [read_geometry(s) or {} for s in srcs]
-    if any(g != geos[0] for g in geos[1:]):
-        raise SystemExit(f"member geometries differ: {geos}")
     geo = dict(geos[0])
     if args.layers is not None:
         geo["num_layers"] = args.layers
@@ -137,8 +138,12 @@ def main(argv=None):
                 "copy corrupted: manifest mismatch after copytree")
         manifest = os.path.join(dst, "SHA256SUMS")
         digest = hashlib.sha256(open(manifest, "rb").read()).hexdigest()
-        packaged.append({"checkpoint": base, "source_experiment": date,
-                         "source_epoch": epoch, "manifest_sha256": digest})
+        entry = {"checkpoint": base, "source_experiment": date,
+                 "source_epoch": epoch, "manifest_sha256": digest}
+        member_geo = read_geometry(dst)
+        if member_geo is not None:
+            entry["model"] = member_geo
+        packaged.append(entry)
 
     meta = {
         # single-model fields kept for the 1-member case (back-compat with

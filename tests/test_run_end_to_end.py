@@ -95,3 +95,59 @@ def test_run_main_reproduces_member_mask_average(release_and_data,
                                   IMG_PATCH_SIZE)
     assert csv.read_text() == \
         (tmp_path / "oracle" / "submission.csv").read_text()
+
+
+def test_run_main_mixed_geometry_ensemble(tmp_path, monkeypatch):
+    """An ensemble release whose members span architectures: run.py must
+    rebuild its Engine per member geometry and still reproduce the
+    direct mask average (the cross-architecture diversity case the
+    subset search can select)."""
+    opts_a = Options(**TINY, seed=11, save_path=str(tmp_path / "runs"),
+                     logdir=str(tmp_path / "logs"))
+    eng_a = Engine(opts_a)
+    eng_a.save(epoch=3)
+    tiny_b = dict(TINY, num_layers=3)
+    opts_b = Options(**tiny_b, seed=12, save_path=str(tmp_path / "runs"),
+                     logdir=str(tmp_path / "logs"))
+    eng_b = Engine(opts_b)
+    eng_b.save(epoch=5)
+
+    from scripts import make_release
+    rel = tmp_path / "release"
+    rc = make_release.main([
+        "--save_path", str(tmp_path / "runs"),
+        "--member", f"{eng_a.experiment_name}:3",
+        "--member", f"{eng_b.experiment_name}:5",
+        "--out", str(rel)])
+    assert rc == 0
+    meta = json.loads((rel / "release.json").read_text())
+    assert meta["members"][0]["model"]["num_layers"] == 2
+    assert meta["members"][1]["model"]["num_layers"] == 3
+
+    data = tmp_path / "data"
+    (data / "test").mkdir(parents=True)
+    rng = np.random.RandomState(5)
+    for i in range(2):
+        arr = rng.randint(0, 256, size=(IMG, IMG, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(data / "test" / f"test_{i + 1}.png")
+
+    import run as run_script
+    monkeypatch.setattr(run_script, "RELEASE_DIR", str(rel))
+    monkeypatch.setattr(run_script, "SUBMISSION_CONFIG", dict(TINY))
+    out = tmp_path / "out"
+    rc = run_script.main(["--data", str(data), "--out", str(out),
+                          "--save_path", str(tmp_path / "runs")])
+    assert rc == 0
+
+    imgs = images_io.load(str(data / "test"))
+    acc = None
+    for eng, m in ((eng_a, meta["members"][0]), (eng_b, meta["members"][1])):
+        eng.restore(file=str(rel / m["checkpoint"]))
+        masks = np.asarray(eng.predict_batchwise(imgs, 2), np.float32)
+        acc = masks if acc is None else acc + masks
+    want = np.asarray(geometry.quantize_mask(
+        acc / 2, threshold=FOREGROUND_THRESHOLD, patch_size=IMG_PATCH_SIZE))
+    images_io.save_submission_csv(want, str(tmp_path / "oracle"),
+                                  IMG_PATCH_SIZE)
+    assert (out / "submission.csv").read_text() == \
+        (tmp_path / "oracle" / "submission.csv").read_text()
