@@ -552,8 +552,18 @@ class Engine:
                 "root_size": int(opts.root_size),
                 "dilated_layers": bool(opts.dilated_layers)}
 
-    def save(self, epoch: int = 0) -> str:
-        return self._checkpointer.save(jax.device_get(self.state), epoch,
+    def save(self, epoch: int = 0, light: bool = False) -> str:
+        """Checkpoint the train state.
+
+        ``light=True`` omits the optimizer state (momentum doubles the
+        host fetch + disk of a 124-500 MB param tree; inference, epoch
+        sweeps, SWA and ensembling only ever need params). Restoring a
+        light checkpoint reinitializes momentum — keep full saves for
+        the interrupt sentinel and the final epoch so ``--resume``
+        continues exactly."""
+        state = (self.state if not light
+                 else {k: self.state[k] for k in ("step", "params")})
+        return self._checkpointer.save(jax.device_get(state), epoch,
                                        geometry=self.model_geometry)
 
     def restore(self, date=None, epoch=None, file=None):
@@ -575,13 +585,22 @@ class Engine:
             # later restore stale mid-epoch weights)
             self.experiment_name = os.path.basename(os.path.dirname(path))
             self._checkpointer.experiment_name = self.experiment_name
+        if "opt_state" not in state:
+            # light checkpoint (params-only): keep the freshly-initialized
+            # momentum already on device; training resumed from one warms
+            # momentum back up within a few steps
+            print(f"checkpoint {os.path.basename(path)} is params-only; "
+                  f"optimizer state reinitialized")
+            opt_state = self.state["opt_state"]
+        else:
+            opt_state = jax.device_put(
+                state["opt_state"],
+                self._opt_state_shardings(state["opt_state"]))
         self.state = {
             "step": jax.device_put(jnp.asarray(state["step"]),
                                    self._replicated),
             "params": jax.device_put(state["params"], self._param_shardings),
-            "opt_state": jax.device_put(state["opt_state"],
-                                        self._opt_state_shardings(
-                                            state["opt_state"])),
+            "opt_state": opt_state,
         }
         self._global_step = int(np.asarray(state["step"]))
 

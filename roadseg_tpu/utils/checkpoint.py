@@ -139,6 +139,20 @@ def infer_geometry(path: str) -> Optional[dict]:
         return None
 
 
+def state_keys(path: str) -> Optional[set]:
+    """Top-level keys of a checkpoint's state pytree, from Orbax metadata
+    only (no tensor payload). Used to detect *light* checkpoints — saved
+    params-only (``Engine.save(light=True)``) to halve the host fetch and
+    disk per epoch — so restores can trim their template instead of
+    failing on the missing ``opt_state`` subtree. None when unreadable."""
+    try:
+        meta = ocp.PyTreeCheckpointer().metadata(os.path.abspath(path))
+        meta = getattr(meta, "item_metadata", meta)
+        return set(meta.keys())
+    except Exception:
+        return None
+
+
 def read_geometry(path: str) -> Optional[dict]:
     """Model geometry of a checkpoint: sidecar if present, else inferred
     from the Orbax metadata. None when neither works."""
@@ -247,6 +261,12 @@ class Checkpointer:
             print(f"WARNING: checkpoint {path} does not match its "
                   f"SHA256SUMS manifest (corrupted or modified?); "
                   f"continuing anyway")
+        if isinstance(template, dict):
+            # light checkpoints (params-only) restore into a trimmed
+            # template; callers get a state without the missing subtrees
+            keys = state_keys(path)
+            if keys:
+                template = {k: v for k, v in template.items() if k in keys}
         state = self._ckpt.restore(path, template)
         print(f"Model restored from file: {path}")
         return state

@@ -63,6 +63,11 @@ def main(argv=None):
     p.add_argument("--save_from", type=int, default=0,
                    help="skip checkpoint saves before this epoch (saves "
                         "~1 min/epoch of device_get+write for big models)")
+    p.add_argument("--light_saves", type=lambda s: s != "0", default=True,
+                   help="save params-only checkpoints (halves the per-epoch "
+                        "device_get+write; sweeps/SWA/ensembling need only "
+                        "params). The final epoch is always saved full so "
+                        "--resume continues with exact momentum.")
     p.add_argument("--seed", type=int, default=2017,
                    help="training seed (init, shuffle, augmentation)")
     p.add_argument("--quick", action="store_true",
@@ -126,7 +131,8 @@ def main(argv=None):
         results.append(rec)
         print(json.dumps(rec))
         if epoch >= args.save_from:
-            model.save(epoch)
+            model.save(epoch, light=args.light_saves
+                       and epoch < args.epochs - 1)
         os.makedirs(model._checkpointer.experiment_dir, exist_ok=True)
         with open(os.path.join(model._checkpointer.experiment_dir,
                                "val_scores.jsonl"), "a") as f:

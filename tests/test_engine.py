@@ -114,6 +114,49 @@ def test_checkpoint_roundtrip_and_resolution(tmp_path, data):
     assert eng2._global_step == int(np.asarray(eng2.state["step"]))
 
 
+def test_light_save_roundtrip(tmp_path, data):
+    """Params-only checkpoints restore (momentum reinitialized), SWA-average,
+    and resolve exactly like full ones."""
+    import os
+
+    from roadseg_tpu.utils import checkpoint as ckpt_lib
+    imgs, gt = data
+    opts = tiny_opts(tmp_path)
+    eng = Engine(opts)
+    eng.prepare_training_data(imgs, gt, rotation_angles=[0])
+    eng.train(imgs, gt)
+    before = np.asarray(eng.predict(imgs[:1]))
+    light = eng.save(0, light=True)
+    full = eng.save(1)
+    assert ckpt_lib.state_keys(light) == {"step", "params"}
+    assert "opt_state" in ckpt_lib.state_keys(full)
+    # light checkpoints are strictly smaller on disk
+    size = lambda p: sum(os.path.getsize(os.path.join(r, f))
+                         for r, _, fs in os.walk(p) for f in fs)
+    assert size(light) < 0.7 * size(full)
+
+    # restore into a FRESH engine: params land, opt_state stays initialized
+    eng2 = Engine(Options(**{**opts.__dict__, "seed": 99}),
+                  experiment_name="other")
+    eng2._checkpointer.save_path = eng._checkpointer.save_path
+    eng2.restore(date=eng.experiment_name, epoch=0)
+    np.testing.assert_allclose(np.asarray(eng2.predict(imgs[:1])), before,
+                               atol=1e-6)
+    # momentum was NOT restored (fresh init = zeros)
+    leaves = jax.tree.leaves(jax.device_get(eng2.state["opt_state"]))
+    assert all(np.all(np.asarray(l) == 0) for l in leaves
+               if hasattr(l, "dtype") and np.issubdtype(l.dtype, np.floating))
+    # training continues from a light checkpoint
+    eng2.prepare_training_data(imgs, gt, rotation_angles=[0])
+    assert not eng2.train(imgs, gt)
+
+    # SWA over light checkpoints works (params averaged)
+    states = [eng._checkpointer.restore(
+        jax.device_get(eng.state), epoch=e) for e in (0, 1)]
+    avg = ckpt_lib.average_states(states)
+    assert "params" in avg
+
+
 def test_tensor_parallel_mesh_matches_data_parallel(tmp_path, data):
     """data=4,model=2 TP run produces the same predictions as pure DP."""
     from roadseg_tpu.parallel.mesh import make_mesh
