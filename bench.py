@@ -77,6 +77,7 @@ def main():
     # flagship checkpoint when one exists so the masks are real. Only
     # checkpoints matching the bench model's geometry are candidates
     # (a mixed runs/ population must not hand us a mismatched param tree).
+    weights = "random"
     try:
         import glob
 
@@ -89,6 +90,7 @@ def main():
                       and ckpt_lib.read_geometry(c) == want), None)
         if match:
             eng.restore(file=os.path.abspath(match))
+            weights = "trained"
         elif ckpts:
             print(f"(bench) no checkpoint matches "
                   f"{ckpt_lib.describe_geometry(want)}; using random init")
@@ -121,6 +123,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC,
                              2),
+        "weights": weights,
     }))
 
 
