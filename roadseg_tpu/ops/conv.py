@@ -13,6 +13,11 @@ Three implementations behind one interface:
   pads small-spatial tiles and our kernel wins 1.7x) and for every fused
   deconv2x2+crop-concat decoder block (wins 1.0-1.7x at all five
   levels); XLA for large-spatial 3x3 convs and the 1x1s (XLA wins).
+* ``impl="pad8"`` — XLA convs over an end-padded domain so output spatial
+  dims land on 8-sublane boundaries (zero-copy: the pad is the conv's own
+  padding config), sliced back to exact. Numerically identical to "xla"
+  (``tests/test_pad8_impl.py``); exists to measure the roofline's tiling
+  hypothesis (SCALING.md: odd valid-conv sizes tile poorly).
 
 Parameters are created here (not via ``nn.Conv``) so both backends share the
 identical pytree layout: HWIO float32 kernels + float32 bias, compute in
@@ -69,13 +74,34 @@ def conv2d_valid(module: nn.Module, x, features: int, *, name: str,
     # accumulates partials in float32 internally); a float32
     # ``preferred_element_type`` here would break the conv transpose rule
     # under grad (f32 cotangent vs bf16 kernel).
-    out = lax.conv_general_dilated(
-        x, k,
-        window_strides=(1, 1),
-        padding="VALID",
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    if impl == "pad8":
+        # Valid convs produce odd/unaligned spatial sizes (571, 285, ...)
+        # that tile poorly onto the 8-sublane vregs (SCALING.md roofline:
+        # the measured step runs ~2.6x above its floor and tiling is the
+        # identified gap). Express an end-pad as the conv's own padding
+        # config (no extra HBM copy) so the OUTPUT spatial dims land on
+        # multiples of 8, then slice back — the kept outputs only ever see
+        # real inputs, so this is numerically exact for a valid conv.
+        d2 = 2 * dilation
+        oh, ow = x.shape[1] - d2, x.shape[2] - d2
+        ph, pw = -oh % 8, -ow % 8
+        out = lax.conv_general_dilated(
+            x, k,
+            window_strides=(1, 1),
+            padding=((0, ph), (0, pw)),
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if ph or pw:
+            out = out[:, :oh, :ow, :]
+    else:
+        out = lax.conv_general_dilated(
+            x, k,
+            window_strides=(1, 1),
+            padding="VALID",
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     out = (out + bias.astype(dtype)).astype(dtype)
     return nn.relu(out) if relu else out
 

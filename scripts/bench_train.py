@@ -107,6 +107,7 @@ def main(argv=None):
         "f32": dict(remat=False, conv_impl="xla", dtype="float32"),
         "accum2": dict(remat=False, conv_impl="xla", grad_accum=2),
         "accum4": dict(remat=False, conv_impl="xla", grad_accum=4),
+        "pad8": dict(remat=False, conv_impl="pad8"),
     }
     for name in args.variants.split(","):
         try:
