@@ -11,7 +11,16 @@ echo "waiting for train queue pid=$QPID..."
 while [ -n "$QPID" ] && kill -0 "$QPID" 2>/dev/null; do sleep 60; done
 echo "train queue done $(date -u +%H:%M:%S)"
 
-RUNS=$(ls runs | grep '^2026-08-18' | head -4)
+probe() {
+  timeout 120 python -c "
+import jax, jax.numpy as jnp
+print('probe:', float(jnp.ones((8,128)).sum()), jax.devices())" \
+    >> artifacts/probe.log 2>&1
+}
+
+# only runs that completed (epoch 29 saved) are ensemble lineages
+RUNS=$(for d in runs/2026-08-18*; do
+  [ -d "$d/model-epoch-029.chkpt" ] && basename "$d"; done)
 echo "runs: $RUNS"
 
 echo "=== 1. SWA members (CPU)"
@@ -31,11 +40,7 @@ done
 for cycle in $(seq 1 60); do
   have=$(ls artifacts/mask_cache/*.npy 2>/dev/null | wc -l)
   echo "--- cycle $cycle: $have masks cached $(date -u +%H:%M:%S)"
-  timeout 120 python -c "
-import jax, jax.numpy as jnp
-print('probe:', float(jnp.ones((8,128)).sum()), jax.devices())" \
-    >> artifacts/probe.log 2>&1
-  if [ $? -ne 0 ]; then echo "tunnel down; sleeping 60s"; sleep 60; continue; fi
+  if ! probe; then echo "tunnel down; sleeping 60s"; sleep 60; continue; fi
   timeout 5400 python scripts/ensemble_runs.py $MEMBERS \
     --out artifacts/ensemble_r3b_all >> artifacts/mask_cache_populate_r3b.log 2>&1
   rc=$?
@@ -51,6 +56,7 @@ echo "finalize exit=$?"
 tail -2 artifacts/finalize_parity_r3b.log
 
 echo "=== 4. run.py release verify (TPU predict, full submission)"
+until probe; do echo "tunnel down; sleep 120"; sleep 120; done
 timeout 3600 ./run.py --out artifacts/run_verify_r3_final \
   > artifacts/run_verify_r3_final.log 2>&1
 echo "run.py exit=$?"
@@ -71,12 +77,21 @@ open('artifacts/run_verify_r3_final/parity_vs_winner.json','w').write(
 fi
 
 echo "=== 5. dilated run (bench weights + ensemble diversity)"
-timeout 6000 python scripts/train_flagship.py --epochs 30 --batch 8 \
-  --lr 0.08 --val 0 --no-remat --dilated 1 --seed 21 --save_from 20 \
-  > artifacts/train_r3b_dilated.log 2>&1
-echo "dilated train exit=$?"
+for att in 1 2 3 4; do
+  # completion check: any 2026-08-18 run with a DILATED epoch-029 checkpoint
+  done_dir=$(for d in runs/2026-08-18*/model-epoch-029.chkpt; do
+    grep -q '"dilated_layers": true' "$d/geometry.json" 2>/dev/null \
+      && dirname "$d"; done | head -1)
+  [ -n "$done_dir" ] && { echo "dilated run complete: $done_dir"; break; }
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  timeout 6000 python scripts/train_flagship.py --epochs 30 --batch 8 \
+    --lr 0.08 --val 0 --no-remat --dilated 1 --seed 21 --save_from 20 \
+    >> artifacts/train_r3b_dilated.log 2>&1
+  echo "dilated train attempt $att exit=$?"
+done
 
 echo "=== 6. stage-wise train profile (batch 8, grad_accum 1 and 2)"
+until probe; do echo "tunnel down; sleep 120"; sleep 120; done
 timeout 1800 python scripts/profile_train.py --batch 8 --dilated 0 \
   --steps 10 --out artifacts/profile_train_r3.jsonl \
   > artifacts/profile_train_r3.log 2>&1
@@ -93,6 +108,7 @@ timeout 2400 python scripts/bench_train.py --dilated 0 --batch 8 \
 echo "bench_train exit=$?"
 
 echo "=== 8. headline bench (dilated parity config, trained weights)"
+until probe; do echo "tunnel down; sleep 120"; sleep 120; done
 timeout 1800 python bench.py > artifacts/bench_r3_final.json 2>&1
 echo "bench exit=$?"
 tail -1 artifacts/bench_r3_final.json
