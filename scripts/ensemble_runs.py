@@ -99,6 +99,7 @@ def main(argv=None):
         os.makedirs(args.mask_cache, exist_ok=True)
 
     acc = None
+    used = []
     for mem in args.member:
         date, epoch = mem.rsplit(":", 1)
         cache_file = (os.path.join(args.mask_cache,
@@ -110,6 +111,11 @@ def main(argv=None):
         else:
             path = Checkpointer(save_path, date).resolve(
                 date=date, epoch=int(epoch))
+            if not os.path.isdir(path):
+                # a lineage that resumed into a new run dir (or was pruned)
+                # simply lacks this epoch — skip, don't abort the populate
+                print(f"{mem}: checkpoint missing ({path}); skipping")
+                continue
             geo = read_geometry(path) or default_geo
             if eng is None or geo != eng_geo:
                 eng, eng_geo = build_engine(geo), geo
@@ -123,7 +129,14 @@ def main(argv=None):
             if cache_file:
                 np.save(cache_file, masks)
         acc = masks if acc is None else acc + masks
-    mean = np.asarray(acc) / len(args.member)
+        used.append(mem)
+    if acc is None:
+        print("no members available", file=sys.stderr)
+        return 1
+    if len(used) < len(args.member):
+        print(f"averaging {len(used)}/{len(args.member)} members "
+              f"(missing skipped)")
+    mean = np.asarray(acc) / len(used)
 
     q = np.asarray(geometry.quantize_mask(
         mean, threshold=FOREGROUND_THRESHOLD, patch_size=IMG_PATCH_SIZE))
@@ -131,7 +144,7 @@ def main(argv=None):
     images_io.save_submission_csv(q, args.out, IMG_PATCH_SIZE)
     result = compare_submissions(os.path.join(args.out, "submission.csv"),
                                  args.ref)
-    result["members"] = args.member
+    result["members"] = used
     print(json.dumps(result))
     with open(os.path.join(args.out, "parity.json"), "w") as f:
         json.dump(result, f, indent=2)

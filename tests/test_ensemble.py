@@ -131,3 +131,36 @@ def test_ensemble_runs_all_cached_scores_without_device(synthetic, tmp_path):
         os.path.join(ref_dir, "submission.csv"), ref_mask.shape[0], pps)
     want = ensemble_search.score(masks[:2].mean(axis=0), ref)
     assert got["agreement"] == pytest.approx(want["agreement"], abs=1e-12)
+
+
+def test_ensemble_runs_skips_missing_members(synthetic, tmp_path):
+    """A member whose checkpoint epoch doesn't exist (e.g. a lineage that
+    resumed into a new run dir) is skipped with a note; the average and
+    the recorded member list cover only the members actually used."""
+    import json
+
+    import ensemble_runs
+
+    masks, ref_mask = synthetic
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    np.save(cache / "2020-01-01T00h00m00s_epoch000.npy", masks[0][..., None])
+    ref_dir = str(tmp_path / "ref")
+    images_io.save_submission_csv(ref_mask[..., None], ref_dir,
+                                  IMG_PATCH_SIZE)
+    out = str(tmp_path / "out")
+    rc = ensemble_runs.main([
+        "--member", "2020-01-01T00h00m00s:0",
+        "--member", "2020-01-01T00h00m00s:7",   # no checkpoint, no cache
+        "--mask_cache", str(cache), "--out", out,
+        "--ref", os.path.join(ref_dir, "submission.csv"),
+        "--save_path", str(tmp_path / "no_runs")])
+    assert rc == 0
+    with open(os.path.join(out, "parity.json")) as f:
+        got = json.load(f)
+    assert got["members"] == ["2020-01-01T00h00m00s:0"]
+    pps = ref_mask.shape[1] // IMG_PATCH_SIZE
+    ref = ensemble_search.load_ref_labels(
+        os.path.join(ref_dir, "submission.csv"), ref_mask.shape[0], pps)
+    want = ensemble_search.score(masks[0], ref)
+    assert got["agreement"] == pytest.approx(want["agreement"], abs=1e-12)
