@@ -48,6 +48,26 @@ from roadseg_tpu.constants import FOREGROUND_THRESHOLD, IMG_PATCH_SIZE
 import ensemble_search
 
 
+def load_csv_labels(path: str) -> np.ndarray:
+    """Submission CSV -> labels[img, x-block, y-block], geometry inferred."""
+    import re
+    pat = re.compile(r"^(\d+)_(\d+)_(\d+),(\d)$")
+    rows = []
+    with open(path) as f:
+        assert f.readline().strip() == "id,prediction"
+        for line in f:
+            m = pat.match(line.strip())
+            n, x, y, label = (int(g) for g in m.groups())
+            rows.append((n, x // IMG_PATCH_SIZE, y // IMG_PATCH_SIZE, label))
+    num = max(r[0] for r in rows)
+    pps = max(r[1] for r in rows) + 1
+    lab = np.full((num, pps, pps), -1, np.int8)
+    for n, x, y, label in rows:
+        lab[n - 1, x, y] = label
+    assert (lab >= 0).all(), f"{path} has holes"
+    return lab
+
+
 def mask_member_votes(cache: str, names: list[str]) -> np.ndarray:
     """Each cached mask -> its own binary patch decision [n, x, y]."""
     votes = []
@@ -97,8 +117,7 @@ def main(argv=None):
     for spec in args.csv:
         path, _, w = spec.partition(":")
         w = float(w) if w else 1.0
-        # peek at one mask / fall back to the 608x608 test geometry
-        lab = ensemble_search.load_ref_labels(path, 50, 608 // IMG_PATCH_SIZE)
+        lab = load_csv_labels(path)
         votes.append(lab.astype(np.float32))
         weights.append(w)
         names.append(f"csv:{path}:{w}")
