@@ -63,11 +63,18 @@ def main():
     # batch_size=36 patches/chunk empirically maximizes MXU occupancy on
     # v5e within HBM (54 crashes the remote compile helper; 27 is ~8%
     # slower; 9 is ~60% slower).
+    # BENCH_FULL_IMAGE=1 switches to the full-image predict mode (one
+    # valid-conv pass per TTA variant instead of the 9-patch stride-110
+    # window; Options.full_image): ~5x fewer conv FLOPs per image. The
+    # default stays the reference-faithful sliding-window pipeline.
+    full_image = os.environ.get("BENCH_FULL_IMAGE", "0") == "1"
     opts = Options(
         num_layers=6, root_size=64, dilated_layers=True,
         patch_size=388, stride=110,
-        batch_size=int(os.environ.get("BENCH_CHUNK", "36")),
+        batch_size=int(os.environ.get(
+            "BENCH_CHUNK", "6" if full_image else "36")),
         conv_impl=os.environ.get("BENCH_CONV_IMPL", "xla"),
+        full_image=full_image,
         ensemble_prediction=True, num_epoch=0,
         logdir="/tmp/roadseg_bench/logs", save_path="/tmp/roadseg_bench",
     )
@@ -124,6 +131,7 @@ def main():
         "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC,
                              2),
         "weights": weights,
+        "mode": "full_image" if full_image else "sliding_window",
     }))
 
 

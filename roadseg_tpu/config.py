@@ -87,6 +87,14 @@ class Options:
     grad_accum: int = 1
     # Emit a jax.profiler trace (TensorBoard-loadable) of the first epoch.
     profile: bool = False
+    # Full-image inference: predict each test image in ONE valid-conv
+    # forward pass (the U-Net is fully convolutional — 608 input maps to
+    # output 612 / input 988 at 6 layers, cropped back to 608) instead of
+    # the reference's overlapping stride-`stride` sliding window
+    # (tf_aerial_images.py:271-328). ~5x less conv FLOPs per image; the
+    # masks differ slightly (no overlap averaging), so the parity pipeline
+    # keeps the sliding window and this is an opt-in throughput mode.
+    full_image: bool = False
     # Per-step "Batch N Step M" log cadence. 0 = auto: every step on a TTY
     # (carriage-return overwrite, the reference's per-step print at
     # tf_aerial_images.py:246), every 100 steps as plain lines when stdout
@@ -206,6 +214,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Microbatches averaged per optimizer step "
                         "(effective batch = grad_accum*batch_size); 1 = off")
     boolean("profile", d.profile, "Profile the first training epoch")
+    boolean("full_image", d.full_image,
+            "Predict each image in one full-image valid-conv pass instead "
+            "of the sliding window (throughput mode; masks differ slightly "
+            "from the stride-window parity pipeline)")
     p.add_argument("--log_every", type=int, default=d.log_every,
                    help="Steps between per-step log lines (0 = auto: every "
                         "step on a TTY, every 100 otherwise)")

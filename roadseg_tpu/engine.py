@@ -512,18 +512,82 @@ class Engine:
 
         return jax.jit(fn)
 
+    @functools.lru_cache(maxsize=8)
+    def _predict_full_fn(self, num_images: int, image_size: int,
+                         ensemble: bool, chunk: int):
+        """Jitted full-image mask prediction (``Options.full_image``).
+
+        The valid-conv U-Net is fully convolutional, so instead of the
+        reference's overlapping sliding window (9 stride-110 patches of
+        input 764 per 608 image — ``tf_aerial_images.py:271-328``) each
+        image is predicted in ONE pass: mirror-pad to the input size of
+        the smallest admissible output >= the image (608 -> output 612 /
+        input 988 at 6 layers), then center-crop the output ring. ~5x
+        fewer conv FLOPs per image; no overlap averaging, so masks differ
+        slightly from the parity pipeline — an opt-in throughput mode.
+        """
+        opts = self._options
+        model = self.model
+        out_size = unet_lib.valid_output_size(image_size, opts.num_layers)
+        in_size = unet_lib.input_size_needed(out_size, opts.num_layers)
+        if (in_size - image_size) % 2:
+            raise ValueError(
+                f"full-image mode needs an even pad: image {image_size} "
+                f"-> input {in_size}")
+        offset = (in_size - image_size) // 2
+        crop = (out_size - image_size) // 2
+        data_sharding = self._data_sharding
+
+        n_eff = num_images * (augment_ops.ENSEMBLE_SIZE if ensemble else 1)
+        num_chunks = -(-n_eff // chunk)
+        pad = num_chunks * chunk - n_eff
+
+        def fn(params, imgs):
+            if ensemble:
+                imgs = augment_ops.image_augmentation_ensemble(imgs)
+            ext = geometry.mirror_border(imgs, offset)
+            if pad:
+                ext = jnp.concatenate([
+                    ext, jnp.zeros((pad, in_size, in_size, NUM_CHANNELS),
+                                   ext.dtype)], axis=0)
+            chunks = ext.reshape(num_chunks, chunk, in_size, in_size,
+                                 NUM_CHANNELS)
+
+            def run_chunk(p):
+                p = jax.lax.with_sharding_constraint(p, data_sharding)
+                logits = model.apply(params, p, deterministic=True)
+                return jax.nn.softmax(logits, axis=-1)[..., 1]
+
+            probs = jax.lax.map(run_chunk, chunks)
+            probs = probs.reshape(-1, out_size, out_size)[:n_eff]
+            masks = probs[:, crop:crop + image_size,
+                          crop:crop + image_size, None]
+            if ensemble:
+                masks = augment_ops.invert_image_augmentation_ensemble(masks)
+            return masks
+
+        return jax.jit(fn)
+
     def predict(self, imgs):
         """Predict road-probability masks for ``imgs`` [N, H, W, 3].
 
         Returns [N, H, W, 1] float32. The whole pipeline (optional 6-way
         TTA, mirror-extend, overlapping patches, batched U-Net, overlap
-        averaging, ensemble inversion) is one jitted XLA program.
+        averaging, ensemble inversion) is one jitted XLA program. With
+        ``Options.full_image`` the sliding window is replaced by one
+        full-image valid-conv pass per TTA variant.
         """
         opts = self._options
         imgs = jnp.asarray(imgs, jnp.float32)
         n, h = imgs.shape[0], imgs.shape[1]
-        fn = self._predict_fn(n, h, bool(opts.ensemble_prediction),
-                              int(opts.stride), max(int(opts.batch_size), 1))
+        if getattr(opts, "full_image", False):
+            fn = self._predict_full_fn(
+                n, h, bool(opts.ensemble_prediction),
+                max(int(opts.batch_size), 1))
+        else:
+            fn = self._predict_fn(n, h, bool(opts.ensemble_prediction),
+                                  int(opts.stride),
+                                  max(int(opts.batch_size), 1))
         return fn(self.state["params"], imgs)
 
     def predict_batchwise(self, imgs, pred_batch_size: int):

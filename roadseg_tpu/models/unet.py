@@ -69,6 +69,28 @@ def output_size_for_input(input_size: int, num_layers: int) -> int:
     return size
 
 
+def valid_output_size(min_output: int, num_layers: int) -> int:
+    """Smallest valid output size >= ``min_output`` for this depth.
+
+    The even-size constraint (``input_size_needed``) admits only a sparse
+    set of output sizes (one per 2^(num_layers-1) stride); this finds the
+    first admissible one at or above ``min_output``. Used by the
+    full-image predict mode: a 608x608 test image at 6 layers maps to
+    output 612 / input 988 (predict once, crop the 2-pixel ring), instead
+    of 9 overlapping stride-110 patches.
+    """
+    stride = 2 ** (num_layers - 1)
+    for out in range(min_output, min_output + stride + 1):
+        try:
+            input_size_needed(out, num_layers)
+            return out
+        except ValueError:
+            continue
+    raise ValueError(
+        f"no valid output size in [{min_output}, {min_output + stride}] "
+        f"for num_layers={num_layers}")
+
+
 class UpConvBlock(nn.Module):
     """2x2 stride-2 VALID transpose conv + bias, then center-crop +
     channel-concat of the skip branch(es) (reference ``unet.py:67-85``).

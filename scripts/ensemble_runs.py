@@ -54,7 +54,10 @@ def main(argv=None):
     p.add_argument("--root_size", type=int, default=64)
     p.add_argument("--dilated", type=_str2bool, default=False)
     p.add_argument("--stride", type=int, default=110)
-    p.add_argument("--chunk", type=int, default=36)
+    p.add_argument("--chunk", type=int, default=None,
+                   help="device batch: patches/chunk (default 36), or "
+                        "full images/chunk in --full_image mode (default "
+                        "6 = one image's TTA set)")
     p.add_argument("--pred_batch", type=int, default=2)
     p.add_argument("--dtype", default="bfloat16",
                    choices=("bfloat16", "float32"),
@@ -65,14 +68,23 @@ def main(argv=None):
                         "'' disables caching")
     p.add_argument("--ref", default=REF_BEST,
                    help="reference submission CSV to score against")
+    p.add_argument("--full_image", type=_str2bool, default=False,
+                   help="predict in full-image mode (Options.full_image; "
+                        "one valid-conv pass per TTA variant instead of "
+                        "the stride sliding window). Cached under a "
+                        "'_full' filename suffix so the two modes' masks "
+                        "never mix")
     args = p.parse_args(argv)
+    if args.chunk is None:
+        args.chunk = 6 if args.full_image else 36
+    suffix = "_full" if args.full_image else ""
 
     def _cache_file(mem):
         if not args.mask_cache:
             return None
         date, epoch = mem.rsplit(":", 1)
         return os.path.join(args.mask_cache,
-                            f"{date}_epoch{int(epoch):03d}.npy")
+                            f"{date}_epoch{int(epoch):03d}{suffix}.npy")
 
     if all(f and os.path.exists(f) for f in map(_cache_file, args.member)):
         # Every member is cached: the remaining work (mask averaging,
@@ -88,7 +100,7 @@ def main(argv=None):
     def build_engine(geo):
         opts = Options(**geo, patch_size=388,
                        stride=args.stride, batch_size=args.chunk,
-                       dtype=args.dtype,
+                       dtype=args.dtype, full_image=args.full_image,
                        ensemble_prediction=True, num_epoch=0,
                        save_path=save_path, logdir="/tmp/ensemble_logs")
         return Engine(opts)
@@ -102,9 +114,7 @@ def main(argv=None):
     used = []
     for mem in args.member:
         date, epoch = mem.rsplit(":", 1)
-        cache_file = (os.path.join(args.mask_cache,
-                                   f"{date}_epoch{int(epoch):03d}.npy")
-                      if args.mask_cache else None)
+        cache_file = _cache_file(mem)
         if cache_file and os.path.exists(cache_file):
             masks = np.load(cache_file)
             print(f"{mem}: cached masks {masks.shape}")
