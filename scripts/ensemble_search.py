@@ -66,6 +66,19 @@ def patch_probs(mean_mask: np.ndarray, pps: int) -> np.ndarray:
     return binar.reshape(n, pps, p, pps, p).mean(axis=(2, 4))
 
 
+def _patch_probs_from_sum(sum_mask: np.ndarray, k: int,
+                          pps: int) -> np.ndarray:
+    """Patch road fractions of the k-member mean, computed from the
+    members' SUM: mean >= 0.5  ⟺  sum >= 0.5*k (exact in f32 up to ulp
+    ties, and the winning subset is re-scored through the real pipeline
+    by finalize_parity anyway). Avoids re-averaging the full pixel
+    stack for every candidate subset."""
+    n, h, w = sum_mask.shape
+    p = IMG_PATCH_SIZE
+    binar = (sum_mask >= 0.5 * k).astype(np.float32)
+    return binar.reshape(n, pps, p, pps, p).mean(axis=(2, 4))
+
+
 def score(mean_mask: np.ndarray, ref: np.ndarray) -> dict:
     pps = ref.shape[1]
     pm = patch_probs(mean_mask, pps)          # [n, y-block, x-block]
@@ -89,6 +102,11 @@ def main(argv=None):
     p.add_argument("--cache", default="artifacts/mask_cache")
     p.add_argument("--ref", default=REF_BEST)
     p.add_argument("--max_k", type=int, default=8)
+    p.add_argument("--pair_top", type=int, default=24,
+                   help="exhaustive pair search only among the top-N "
+                        "singles (greedy expansion still considers every "
+                        "member); keeps a 60+-member cache searchable in "
+                        "minutes")
     p.add_argument("--out", default="artifacts/ensemble_search.json")
     args = p.parse_args(argv)
 
@@ -105,6 +123,14 @@ def main(argv=None):
     ref = load_ref_labels(args.ref, num, pps)
     print(f"{m} members, {num} images, {pps}x{pps} patches each")
 
+    refb = ref.astype(bool)
+    total = refb.size
+
+    def sum_agreement(sum_mask, k):
+        pm = _patch_probs_from_sum(sum_mask, k, pps)
+        lab = pm.transpose(0, 2, 1) > FOREGROUND_THRESHOLD
+        return float((lab == refb).mean())
+
     def subset_score(idx):
         return score(masks[list(idx)].mean(axis=0, dtype=np.float32), ref)
 
@@ -118,19 +144,25 @@ def main(argv=None):
     results["singles"] = {names[i[1][0]]: round(i[0], 5) for i in singles}
 
     best_by_k = {1: singles[0]}
+    # exhaustive pairs among the strongest singles only (the running-sum
+    # greedy below still sees every member at every k)
+    top = [s[1][0] for s in singles[:args.pair_top]]
     pairs = []
-    for i, j in itertools.combinations(range(m), 2):
-        pairs.append((subset_score((i, j))["agreement"], (i, j)))
+    for i, j in itertools.combinations(top, 2):
+        s = masks[i].astype(np.float32) + masks[j]
+        pairs.append((sum_agreement(s, 2), (i, j)))
     pairs.sort(reverse=True)
     best_by_k[2] = pairs[0]
 
-    # greedy forward selection from the best pair
+    # greedy forward selection from the best pair, over a running sum
     cur = list(pairs[0][1])
+    cur_sum = masks[cur[0]].astype(np.float32) + masks[cur[1]]
     for k in range(3, min(args.max_k, m) + 1):
-        cand = [(subset_score(tuple(cur + [x]))["agreement"], x)
+        cand = [(sum_agreement(cur_sum + masks[x], k), x)
                 for x in range(m) if x not in cur]
         cand.sort(reverse=True)
         cur = cur + [cand[0][1]]
+        cur_sum = cur_sum + masks[cand[0][1]]
         best_by_k[k] = (cand[0][0], tuple(cur))
 
     print("\nbest by ensemble size:")
