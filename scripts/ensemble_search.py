@@ -108,9 +108,15 @@ def main(argv=None):
                         "member); keeps a 60+-member cache searchable in "
                         "minutes")
     p.add_argument("--out", default="artifacts/ensemble_search.json")
+    p.add_argument("--exclude", default=None,
+                   help="skip cache members whose name contains this "
+                        "substring (e.g. '_full' to keep full-image-mode "
+                        "masks out of a release search: run.py reproduces "
+                        "releases with sliding-window inference only)")
     args = p.parse_args(argv)
 
-    files = sorted(f for f in os.listdir(args.cache) if f.endswith(".npy"))
+    files = sorted(f for f in os.listdir(args.cache) if f.endswith(".npy")
+                   and not (args.exclude and args.exclude in f))
     if not files:
         raise SystemExit(f"no cached masks in {args.cache}; run "
                          "scripts/ensemble_runs.py first")

@@ -43,8 +43,12 @@ def main(argv=None):
     import ensemble_runs
     import ensemble_search
 
+    # `_full` cache entries are full-image-mode predictions; a release
+    # must be reproducible by run.py's sliding-window path, so they are
+    # search-able only via ensemble_search --exclude '' (artifact runs).
     rc = ensemble_search.main(["--cache", args.cache,
                                "--max_k", str(args.max_k),
+                               "--exclude", "_full",
                                "--out", args.search_json])
     if rc:
         return rc
