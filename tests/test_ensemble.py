@@ -164,3 +164,73 @@ def test_ensemble_runs_skips_missing_members(synthetic, tmp_path):
         os.path.join(ref_dir, "submission.csv"), ref_mask.shape[0], pps)
     want = ensemble_search.score(masks[0], ref)
     assert got["agreement"] == pytest.approx(want["agreement"], abs=1e-12)
+
+
+def test_search_exclude_filters_full_image_members(synthetic, tmp_path):
+    """`--exclude _full` must keep full-image-mode cache entries out of a
+    release search: run.py reproduces releases with sliding-window
+    inference only, so a `_full` member in the winning subset would make
+    the release unreproducible (finalize_parity passes this flag)."""
+    import json
+
+    masks, ref_mask = synthetic
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    np.save(cache / "2020-01-01T00h00m00s_epoch000.npy", masks[0][..., None])
+    np.save(cache / "2020-01-01T00h00m01s_epoch001.npy", masks[1][..., None])
+    # A _full twin of the best member: excluded from the release search.
+    np.save(cache / "2020-01-01T00h00m00s_epoch000_full.npy",
+            masks[2][..., None])
+    ref_dir = str(tmp_path / "ref")
+    images_io.save_submission_csv(ref_mask[..., None], ref_dir,
+                                  IMG_PATCH_SIZE)
+    out = str(tmp_path / "search.json")
+    rc = ensemble_search.main([
+        "--cache", str(cache), "--max_k", "2", "--out", out,
+        "--ref", os.path.join(ref_dir, "submission.csv"),
+        "--exclude", "_full"])
+    assert rc in (0, None)
+    with open(out) as f:
+        res = json.load(f)
+    all_names = set(res["singles"]) | {
+        m for v in res["best_by_k"].values() for m in v["members"]}
+    assert all_names, "search saw no members"
+    assert not any(n.endswith("_full") for n in all_names)
+    # Without --exclude the _full member is searchable.
+    rc = ensemble_search.main([
+        "--cache", str(cache), "--max_k", "2", "--out", out,
+        "--ref", os.path.join(ref_dir, "submission.csv")])
+    assert rc in (0, None)
+    with open(out) as f:
+        res = json.load(f)
+    assert any(n.endswith("_full") for n in res["singles"])
+
+
+def test_threshold_sweep_baseline_matches_faithful_score(synthetic):
+    """threshold_sweep at exactly (0.5, 0.25) must equal the faithful
+    scorer — patch fractions are multiples of 1/(IMG_PATCH_SIZE^2), so a
+    threshold like float64 0.24999999999999997 silently flips every
+    exactly-64/256 patch (the bug the exact grid fixed)."""
+    import threshold_sweep
+
+    masks, ref_mask = synthetic
+    mean = masks.mean(axis=0)
+    # Force patch fractions to land exactly ON the 0.25 boundary: one
+    # patch with exactly 25% road pixels.
+    p = IMG_PATCH_SIZE
+    mean[0, :p, :p] = 0.0
+    mean[0, :p, : p // 4] = 1.0     # exactly 64 of 256 pixels road
+    pps = mean.shape[1] // IMG_PATCH_SIZE
+    labels = np.zeros((mean.shape[0], pps, pps), np.int8)
+    want = ensemble_search.score(
+        mean, labels)["agreement"]
+    rows = threshold_sweep.sweep(mean, labels, [0.5], [0.25])
+    assert rows[0]["agreement"] == pytest.approx(want, abs=1e-12)
+    # The boundary patch must be NON-road under the faithful `> 0.25`.
+    # The original bug came from np.arange's STRONG float64 scalars
+    # (0.15 + 4*0.025 = 0.24999999999999997): a plain Python float would
+    # weak-promote down to float32 0.25 and mask the flip (NEP 50).
+    bad_t = np.arange(0.15, 0.451, 0.025)[4]
+    assert float(bad_t) != 0.25
+    bad = threshold_sweep.sweep(mean, labels, [0.5], [bad_t])
+    assert bad[0]["agreement"] != rows[0]["agreement"]
