@@ -30,11 +30,15 @@ CUT_TRAIN=$(date -u -d "today 16:20" +%s)
 CUT_POP=$(date -u -d "today 17:30" +%s)
 CUT_VERIFY=$(date -u -d "today 17:52" +%s)
 
-echo "=== 1. seed-5 lineage ($(date -u +%H:%M:%S))"
+echo "=== 1. seed-5 lineage (recipe-diverse: dropout 0.8) ($(date -u +%H:%M:%S))"
+# ceiling_estimate.py shows same-recipe members are variance-saturated
+# (k-curve peaks at 5); a differently-regularized lineage decorrelates
+# errors — and doubles as the round-1 dropout-0.8 A/B (VERDICT task 7).
 if [ "$(now)" -lt "$CUT_TRAIN" ]; then
   until probe; do echo "tunnel down; sleep 120"; sleep 120; done
   timeout 2400 python scripts/train_flagship.py --epochs 30 --batch 8 \
     --lr 0.08 --val 0 --no-remat --dilated 0 --seed 5 --save_from 14 \
+    --dropout 0.8 \
     > artifacts/train_r3_seed5.log 2>&1
   echo "seed5 exit=$?"
   SEED5=$(ls -td runs/2026-08-18T1[4-9]* 2>/dev/null | head -1 | xargs -r basename)
@@ -138,4 +142,15 @@ for w in 2 3 4; do
   echo "fuse w=$w exit=$? $(python -c "
 import json; print(json.load(open('artifacts/label_fuse_final_w$w.json'))['selected']['agreement'])" 2>/dev/null)"
 done
+# + the two surviving single-run lineage CSVs as extra old-generation votes
+timeout 900 python scripts/label_fuse.py \
+  --csv artifacts/ensemble_final_old_r3.csv:3 \
+  --csv artifacts/submission_r1_final/submission.csv:1 \
+  --csv artifacts/submission_r1b/submission.csv:1 \
+  --members auto \
+  --out artifacts/label_fuse_final_5gen.json \
+  --write_csv artifacts/label_fuse_final_5gen.csv \
+  >> artifacts/label_fuse_final.log 2>&1
+echo "fuse 5gen exit=$? $(python -c "
+import json; print(json.load(open('artifacts/label_fuse_final_5gen.json'))['selected']['agreement'])" 2>/dev/null)"
 echo "R3 FINAL DONE $(date -u +%H:%M:%S)"
