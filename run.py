@@ -133,6 +133,36 @@ def release_checkpoint():
     return ckpts, meta
 
 
+def load_fusion_spec():
+    """The fusion spec packaged next to the release
+    (``scripts/make_fusion_spec.py``): archived submission CSVs that
+    vote alongside the release members under ``--fuse``, each pinned by
+    SHA-256 like the weight manifests (the reference's verify-then-use
+    flow, ``run.py:143-149``). Returns the spec with absolute CSV paths
+    resolved, or None when no fusion.json is packaged."""
+    spec_path = os.path.join(RELEASE_DIR, "fusion.json")
+    if not os.path.exists(spec_path):
+        return None
+    import hashlib
+    import json
+    with open(spec_path) as f:
+        spec = json.load(f)
+    root = os.path.dirname(os.path.abspath(__file__))
+    for vote in spec.get("csv_votes", ()):
+        ap = (vote["path"] if os.path.isabs(vote["path"])
+              else os.path.join(root, vote["path"]))
+        if not os.path.exists(ap):
+            raise FileNotFoundError(
+                f"fusion.json names {vote['path']} but it is missing")
+        with open(ap, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        if vote.get("sha256") and digest != vote["sha256"]:
+            print(f"WARNING: {vote['path']} does not match its recorded "
+                  f"sha256; continuing anyway", file=sys.stderr)
+        vote["abs_path"] = ap
+    return spec
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("accelerator", nargs="?", default=None,
@@ -154,6 +184,15 @@ def main(argv=None):
                         "(reproduces the 93.994 entry); 0 = the non-dilated "
                         "94.124 winner (default); unset = adopt whatever "
                         "the release/newest checkpoint is")
+    p.add_argument("--fuse", action="store_true",
+                   help="cross-generation label fusion: each release "
+                        "member casts a binary patch vote (faithful "
+                        "quantize per member) and the SHA-pinned archived "
+                        "CSVs in artifacts/release/fusion.json vote with "
+                        "their recorded weights; weighted majority wins. "
+                        "Reproduces the repo's best parity submission "
+                        "(PARITY.md round 3b); without --fuse the release "
+                        "is the pure mask-mean ensemble")
     args = p.parse_args(argv)
 
     data_root = args.data or images_io.resolve_data_dir()
@@ -230,11 +269,36 @@ def main(argv=None):
         model.restore(file=ckpts[0])
         ensemble_ckpts = ckpts[1:]
 
+    fusion = None
+    if args.fuse:
+        fusion = load_fusion_spec()
+        if fusion is None:
+            print("--fuse requires artifacts/release/fusion.json "
+                  "(scripts/make_fusion_spec.py packages one)",
+                  file=sys.stderr)
+            return 1
+
     test_dir = os.path.join(data_root, "test")
     imgs = images_io.load(test_dir)
     print(f"Running prediction on {imgs.shape[0]} test images...")
     start = time.time()
-    masks = model.predict_batchwise(imgs, opts.pred_batch_size)
+
+    from roadseg_tpu.utils import scoring
+    member_w = float(fusion.get("member_weight", 1.0)) if fusion else 1.0
+
+    def member_vote(m):
+        """One weight-member's contribution: its own binary patch vote
+        under fusion (label_fuse.py semantics), the raw probability
+        mask under the default mask-mean ensemble."""
+        m = np.asarray(m, np.float32)
+        if fusion:
+            return scoring.mask_labels(
+                m, IMG_PATCH_SIZE,
+                FOREGROUND_THRESHOLD).astype(np.float64) * member_w
+        return m
+
+    acc = member_vote(model.predict_batchwise(imgs, opts.pred_batch_size))
+    w_total = member_w
     if ensemble_ckpts:
         from roadseg_tpu.utils import checkpoint as ckpt_lib
     for extra in ensemble_ckpts:
@@ -251,16 +315,27 @@ def main(argv=None):
             opts = build_opts()
             model = Engine(opts)
         model.restore(file=extra)
-        masks = np.asarray(masks) + np.asarray(
+        acc = acc + member_vote(
             model.predict_batchwise(imgs, opts.pred_batch_size))
-    if ensemble_ckpts:
-        masks = np.asarray(masks) / (1 + len(ensemble_ckpts))
+        w_total += member_w
     stop = time.time()
     print(f"Prediction time: {(stop - start) / 60:.2f} mins "
           f"({imgs.shape[0] / (stop - start):.3f} img/s)")
 
-    masks = np.asarray(geometry.quantize_mask(
-        masks, threshold=FOREGROUND_THRESHOLD, patch_size=IMG_PATCH_SIZE))
+    if fusion:
+        for vote in fusion["csv_votes"]:
+            lab = scoring.submission_labels(vote["abs_path"],
+                                            IMG_PATCH_SIZE)
+            acc = acc + lab.astype(np.float64) * float(vote["weight"])
+            w_total += float(vote["weight"])
+            print(f"fused CSV vote {vote['path']} (weight {vote['weight']})")
+        t = float(fusion.get("vote_threshold", 0.5))
+        fused = (acc / w_total) > t - 1e-9  # ties at t -> road
+        masks = scoring.labels_to_mask(fused, IMG_PATCH_SIZE)
+    else:
+        masks = np.asarray(geometry.quantize_mask(
+            acc / w_total, threshold=FOREGROUND_THRESHOLD,
+            patch_size=IMG_PATCH_SIZE))
     out_dir = args.out or os.path.abspath(
         os.path.join(opts.save_path, model.experiment_name))
     overlay_imgs = images_io.overlays(imgs, masks, fade=0.4)

@@ -151,3 +151,88 @@ def test_run_main_mixed_geometry_ensemble(tmp_path, monkeypatch):
                                   IMG_PATCH_SIZE)
     assert (out / "submission.csv").read_text() == \
         (tmp_path / "oracle" / "submission.csv").read_text()
+
+
+def test_run_main_fuse_reproduces_label_vote(release_and_data, monkeypatch):
+    """``./run.py --fuse``: the release members cast binary patch votes
+    and the SHA-pinned archived CSVs in fusion.json vote with their
+    weights; weighted majority (ties -> road) decides. Oracle: the same
+    fusion computed directly from predict_batchwise masks + the CSV via
+    roadseg_tpu.utils.scoring (label_fuse.py semantics)."""
+    from roadseg_tpu.utils import scoring
+
+    eng, rel, data, tmp_path = release_and_data
+    import run as run_script
+    monkeypatch.setattr(run_script, "RELEASE_DIR", str(rel))
+    monkeypatch.setattr(run_script, "SUBMISSION_CONFIG", dict(TINY))
+
+    # --fuse without a packaged fusion.json must refuse, not silently
+    # fall back to the mask-mean ensemble.
+    rc = run_script.main(["--data", str(data), "--out",
+                          str(tmp_path / "nofuse"), "--fuse",
+                          "--save_path", str(tmp_path / "runs")])
+    assert rc == 1
+
+    # A synthetic archived CSV vote: all-road on image 1, all-non-road
+    # on image 2 (weight 2 vs two weight-1 members: the CSV dominates
+    # ties wherever the members split).
+    pps = IMG // IMG_PATCH_SIZE
+    lab = np.zeros((2, pps, pps), np.int8)
+    lab[0] = 1
+    csv_dir = tmp_path / "oldgen"
+    images_io.save_submission_csv(
+        scoring.labels_to_mask(lab, IMG_PATCH_SIZE), str(csv_dir),
+        IMG_PATCH_SIZE)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import make_fusion_spec
+    rc = make_fusion_spec.main([
+        "--csv", str(csv_dir / "submission.csv") + ":2",
+        "--out", str(rel / "fusion.json")])
+    assert rc == 0
+
+    out = tmp_path / "out_fuse"
+    rc = run_script.main(["--data", str(data), "--out", str(out), "--fuse",
+                          "--save_path", str(tmp_path / "runs")])
+    assert rc == 0
+
+    # oracle fusion
+    imgs = images_io.load(str(data / "test"))
+    meta = json.loads((rel / "release.json").read_text())
+    acc = np.zeros((2, pps, pps), np.float64)
+    for m in meta["members"]:
+        eng.restore(file=str(rel / m["checkpoint"]))
+        masks = np.asarray(eng.predict_batchwise(imgs, 2), np.float32)
+        acc += scoring.mask_labels(masks, IMG_PATCH_SIZE,
+                                   FOREGROUND_THRESHOLD)
+    acc += 2.0 * lab
+    fused = (acc / 4.0) > 0.5 - 1e-9
+    images_io.save_submission_csv(
+        scoring.labels_to_mask(fused, IMG_PATCH_SIZE),
+        str(tmp_path / "oracle_fuse"), IMG_PATCH_SIZE)
+    got = (out / "submission.csv").read_text()
+    assert got == (tmp_path / "oracle_fuse" / "submission.csv").read_text()
+    # the dominating CSV vote must be visible in the output: image 1 has
+    # road patches wherever members split, image 2 loses marginal ones
+    got_lab = scoring.submission_labels(str(out / "submission.csv"),
+                                        IMG_PATCH_SIZE)
+    assert got_lab.shape == (2, pps, pps)
+
+
+def test_scoring_label_roundtrip(tmp_path):
+    """labels -> block mask -> CSV -> labels is the identity, and
+    mask_labels inverts labels_to_mask on binary input (pins the
+    x=W / y=H orientation contract)."""
+    from roadseg_tpu.utils import scoring
+
+    rng = np.random.default_rng(3)
+    lab = (rng.uniform(size=(3, 4, 4)) < 0.4).astype(np.int8)
+    mask = scoring.labels_to_mask(lab, IMG_PATCH_SIZE)
+    assert mask.shape == (3, 64, 64, 1)
+    back = scoring.mask_labels(mask, IMG_PATCH_SIZE, FOREGROUND_THRESHOLD)
+    assert (back == lab).all()
+    images_io.save_submission_csv(mask, str(tmp_path), IMG_PATCH_SIZE)
+    parsed = scoring.submission_labels(
+        str(tmp_path / "submission.csv"), IMG_PATCH_SIZE)
+    assert (parsed == lab).all()
