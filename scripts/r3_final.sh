@@ -112,12 +112,31 @@ timeout 2400 python scripts/finalize_parity.py --max_k 16 \
 echo "finalize exit=$?"; tail -2 artifacts/finalize_parity_r3_final.log
 
 echo "=== 7. run.py release verify ($(date -u +%H:%M:%S))"
+score_vs_winner() {  # $1 = output dir
+  [ -f "$1/submission.csv" ] || return
+  timeout 600 python -c "
+import jax; jax.config.update('jax_platforms','cpu')
+import sys, json; sys.path.insert(0,'.')
+from roadseg_tpu.utils.scoring import compare_submissions
+r = compare_submissions('$1/submission.csv',
+    '/root/reference/submissions/2017-12-17T10h55m14s_multi_rotation'
+    '_stochastic_aug_6_layers_epoch_22_ensemble_dropout_1.0_94_124/'
+    'submission.csv')
+print(json.dumps(r))
+open('$1/parity_vs_winner.json','w').write(json.dumps(r, indent=2) + '\n')"
+}
 if [ "$(now)" -lt "$CUT_VERIFY" ]; then
   until probe; do echo "tunnel down; sleep 120"; sleep 120; done
-  timeout 1200 python run.py --out artifacts/run_verify_r3_end \
-    > artifacts/run_verify_r3_end.log 2>&1
-  echo "verify exit=$?"
-  cat artifacts/run_verify_r3_end/parity_vs_winner.json 2>/dev/null
+  timeout 1200 python run.py --fuse --out artifacts/run_verify_r3_fused \
+    > artifacts/run_verify_r3_fused.log 2>&1
+  echo "fused verify exit=$?"
+  score_vs_winner artifacts/run_verify_r3_fused
+  if [ "$(now)" -lt "$CUT_VERIFY" ]; then
+    timeout 1200 python run.py --out artifacts/run_verify_r3_end \
+      > artifacts/run_verify_r3_end.log 2>&1
+    echo "verify exit=$?"
+    score_vs_winner artifacts/run_verify_r3_end
+  fi
 else
   echo "skip (past cutoff; oracle re-score in stage 6 already validated)"
 fi
