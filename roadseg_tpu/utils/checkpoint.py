@@ -155,8 +155,11 @@ def state_keys(path: str) -> Optional[set]:
 
 def read_geometry(path: str) -> Optional[dict]:
     """Model geometry of a checkpoint: sidecar if present, else inferred
-    from the Orbax metadata. None when neither works."""
+    from the Orbax metadata (or the npz ``__geometry__`` entry for
+    ``export_npz`` files). None when neither works."""
     import json
+    if path.endswith(".npz"):
+        return _npz_geometry(path)
     sidecar = os.path.join(path, _GEOMETRY)
     if os.path.exists(sidecar):
         try:
@@ -166,6 +169,94 @@ def read_geometry(path: str) -> Optional[dict]:
         except (json.JSONDecodeError, KeyError):
             pass
     return infer_geometry(path)
+
+
+def _keypath_str(kp) -> str:
+    """jax tree keypath -> "a/b/c" (dict keys and sequence indices)."""
+    parts = []
+    for k in kp:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def export_npz(state: Any, path: str, geometry: Optional[dict] = None,
+               dtype: str = "float16") -> str:
+    """Export a train state's *params* as a single ``.npz`` file.
+
+    Purpose: a git-committable weight distribution. The reference ships its
+    winning weights as an HTTP download verified by sha256 (``run.py:46-119``);
+    this environment has no egress, so the repo itself is the distribution
+    channel — an Orbax directory tree is unwieldy to track, a single npz is
+    not. Float leaves are stored in ``dtype`` (default float16: half the
+    size; the restore-time cast error is ~1e-3 relative, far below the
+    0.25 patch-quantization threshold the masks go through). Non-float
+    leaves and the ``step`` counter are stored exactly.
+    """
+    import json
+
+    import jax
+    import numpy as np
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(
+            state["params"])[0]:
+        arr = np.asarray(leaf)
+        if np.issubdtype(arr.dtype, np.floating) and dtype:
+            arr = arr.astype(dtype)
+        flat["params/" + _keypath_str(kp)] = arr
+    flat["__step__"] = np.asarray(state.get("step", 0))
+    if geometry is not None:
+        flat["__geometry__"] = np.array(
+            json.dumps({k: geometry[k] for k in GEOMETRY_KEYS}))
+    with open(path, "wb") as f:
+        np.savez(f, **flat)
+    return path
+
+
+def _npz_geometry(path: str) -> Optional[dict]:
+    import json
+
+    import numpy as np
+    try:
+        with np.load(path) as z:
+            if "__geometry__" not in z.files:
+                return None
+            geo = json.loads(str(z["__geometry__"][()]))
+        return {k: geo[k] for k in GEOMETRY_KEYS}
+    except Exception:
+        return None
+
+
+def restore_npz(template: Any, path: str) -> dict:
+    """Restore a params-only state from an ``export_npz`` file.
+
+    Returns ``{"step": ..., "params": ...}`` shaped like ``template``'s
+    corresponding subtrees, each leaf cast back to the template leaf's
+    dtype (fp16 payload -> fp32 params). Missing/extra keys are an error —
+    same strictness as an Orbax tree-structure mismatch, but with a
+    readable message."""
+    import numpy as np
+    with np.load(path) as z:
+        payload = {k: z[k] for k in z.files}
+    import jax
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(
+        template["params"])
+    want = {"params/" + _keypath_str(kp) for kp, _ in leaves}
+    have = {k for k in payload if k.startswith("params/")}
+    if want != have:
+        missing, extra = sorted(want - have)[:3], sorted(have - want)[:3]
+        raise ValueError(
+            f"npz {path} does not match the model's param tree "
+            f"(missing {missing}..., unexpected {extra}...)")
+    out = [np.asarray(payload["params/" + _keypath_str(kp)],
+                      np.asarray(leaf).dtype)
+           for kp, leaf in leaves]
+    return {"step": payload["__step__"],
+            "params": jax.tree_util.tree_unflatten(treedef, out)}
 
 
 def describe_geometry(geometry: Optional[dict]) -> str:
@@ -256,6 +347,12 @@ class Checkpointer:
         when present — non-fatally, like the reference's model verification
         (``run.py:143-149``)."""
         path = self.resolve(date=date, epoch=epoch, file=file)
+        if path.endswith(".npz"):
+            # git-committed weight distribution (export_npz): params-only,
+            # restores like a light checkpoint
+            state = restore_npz(template, path)
+            print(f"Model restored from file: {path}")
+            return state
         ok = verify_manifest(path)
         if ok is False:
             print(f"WARNING: checkpoint {path} does not match its "

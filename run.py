@@ -111,25 +111,44 @@ def release_checkpoint():
     meta_path = os.path.join(RELEASE_DIR, "release.json")
     if not os.path.exists(meta_path):
         return None, None
+    import hashlib
     import json
 
     from roadseg_tpu.utils.checkpoint import verify_manifest
     with open(meta_path) as f:
         meta = json.load(f)
-    names = [m["checkpoint"] for m in meta.get("members", ())] \
-        or [meta["checkpoint"]]
+    members = meta.get("members") or [meta]
     ckpts = []
-    for name in names:
-        ckpt = os.path.join(RELEASE_DIR, name)
-        if not os.path.isdir(ckpt):
-            print(f"WARNING: release.json names {ckpt} but it is missing; "
-                  f"falling back to ./runs", file=sys.stderr)
-            return None, None
-        if verify_manifest(ckpt) is False:
-            # non-fatal, like the reference's sha256 check (run.py:143-149)
-            print(f"WARNING: release checkpoint {ckpt} does not match its "
-                  f"SHA256SUMS manifest; continuing anyway", file=sys.stderr)
-        ckpts.append(ckpt)
+    for m in members:
+        ckpt = os.path.join(RELEASE_DIR, m["checkpoint"])
+        if os.path.isdir(ckpt):
+            if verify_manifest(ckpt) is False:
+                # non-fatal, like the reference's sha256 check
+                # (run.py:143-149)
+                print(f"WARNING: release checkpoint {ckpt} does not match "
+                      f"its SHA256SUMS manifest; continuing anyway",
+                      file=sys.stderr)
+            ckpts.append(ckpt)
+            continue
+        # the Orbax payload is gitignored; a git-committed fp16 npz of the
+        # same weights (make_release.py --npz) survives machine resets
+        npz = os.path.join(RELEASE_DIR,
+                           m.get("npz", m["checkpoint"] + ".npz"))
+        if os.path.exists(npz):
+            if m.get("npz_sha256"):
+                with open(npz, "rb") as f:
+                    digest = hashlib.sha256(f.read()).hexdigest()
+                if digest != m["npz_sha256"]:
+                    print(f"WARNING: {npz} does not match its recorded "
+                          f"sha256; continuing anyway", file=sys.stderr)
+            ckpts.append(npz)
+            continue
+        print(f"WARNING: release member {m['checkpoint']} is missing "
+              f"(no Orbax dir, no npz); skipping it", file=sys.stderr)
+    if not ckpts:
+        print("WARNING: no release member is present on disk; "
+              "falling back to ./runs", file=sys.stderr)
+        return None, None
     return ckpts, meta
 
 

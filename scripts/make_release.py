@@ -74,6 +74,13 @@ def main(argv=None):
                    help="override; default: read from the checkpoint")
     p.add_argument("--dilated", default=None,
                    help="1/0 override; default: read from the checkpoint")
+    p.add_argument("--npz", type=int, default=0,
+                   help="also export the first N members as git-committable "
+                        "fp16 .npz weight files (the Orbax payload itself "
+                        "is gitignored; an npz member survives machine "
+                        "resets and fresh clones — the reference "
+                        "distributes weights by download, run.py:46-119; "
+                        "here git is the only distribution channel)")
     p.add_argument("--score-json", default="{}",
                    help="JSON dict of quality scores to record")
     p.add_argument("--notes", default="")
@@ -124,6 +131,8 @@ def main(argv=None):
         full = os.path.join(args.out, old)
         if old.endswith(".chkpt") and os.path.isdir(full):
             shutil.rmtree(full)
+        elif old.endswith(".chkpt.npz"):
+            os.remove(full)
 
     packaged = []
     for (date, epoch), src in zip(members, srcs):
@@ -143,6 +152,18 @@ def main(argv=None):
         member_geo = read_geometry(dst)
         if member_geo is not None:
             entry["model"] = member_geo
+        if len(packaged) < args.npz:
+            import orbax.checkpoint as ocp
+
+            from roadseg_tpu.utils.checkpoint import export_npz
+            state = ocp.PyTreeCheckpointer().restore(os.path.abspath(dst))
+            npz_path = dst + ".npz"  # <member>.chkpt.npz next to the dir
+            export_npz(state, npz_path, geometry=member_geo)
+            entry["npz"] = os.path.basename(npz_path)
+            entry["npz_sha256"] = hashlib.sha256(
+                open(npz_path, "rb").read()).hexdigest()
+            print(f"npz weight export: {npz_path} "
+                  f"({os.path.getsize(npz_path) >> 20} MiB)")
         packaged.append(entry)
 
     meta = {

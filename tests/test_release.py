@@ -131,3 +131,90 @@ def test_release_refuses_corrupt_source(tiny_run):
             "--save_path", str(tmp_path / "runs"),
             "--date", eng.experiment_name, "--epoch", "3",
             "--out", str(tmp_path / "release2")])
+
+
+def test_npz_export_restore_roundtrip(tiny_run, monkeypatch):
+    """--npz N exports git-committable fp16 weights; restore survives the
+    Orbax payload being wiped (fresh machine / fresh clone — the repo's
+    only weight-distribution channel, reference run.py:46-119)."""
+    import shutil
+
+    import jax
+
+    from roadseg_tpu.utils import checkpoint as ckpt_lib
+    eng, tmp_path = tiny_run
+    orig_params = jax.device_get(eng.state["params"])
+    from scripts import make_release
+    out = tmp_path / "release"
+    rc = make_release.main([
+        "--save_path", str(tmp_path / "runs"),
+        "--date", eng.experiment_name, "--epoch", "3",
+        "--layers", "2", "--root_size", "4", "--dilated", "0",
+        "--npz", "1", "--out", str(out)])
+    assert rc == 0
+    meta = json.loads((out / "release.json").read_text())
+    m = meta["members"][0]
+    assert m["npz"] == m["checkpoint"] + ".npz"
+    npz_path = out / m["npz"]
+    assert npz_path.exists() and m["npz_sha256"]
+    assert ckpt_lib.read_geometry(str(npz_path)) == {
+        "num_layers": 2, "root_size": 4, "dilated_layers": False}
+
+    # wipe the Orbax payload: the npz takes over
+    shutil.rmtree(out / m["checkpoint"])
+    import run as run_script
+    monkeypatch.setattr(run_script, "RELEASE_DIR", str(out))
+    ckpts, meta2 = run_script.release_checkpoint()
+    assert ckpts == [str(npz_path)]
+
+    eng.state["params"] = jax.tree.map(lambda x: x * 0, eng.state["params"])
+    eng.restore(file=str(npz_path))
+    got = jax.device_get(eng.state["params"])
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(orig_params)[0]:
+        back = got
+        for k in kp:
+            back = back[k.key]
+        np.testing.assert_allclose(np.asarray(back), np.asarray(leaf),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_npz_geometry_mismatch_is_caught(tiny_run, tmp_path_factory):
+    """Engine.restore refuses an npz of the wrong architecture with the
+    one-line geometry error, not a tree-structure dump."""
+    eng, tmp_path = tiny_run
+    import jax
+
+    from roadseg_tpu.utils.checkpoint import export_npz
+    npz = str(tmp_path / "w.npz")
+    export_npz(jax.device_get(eng.state), npz,
+               geometry={"num_layers": 3, "root_size": 8,
+                         "dilated_layers": True})
+    with pytest.raises(ValueError, match="3L root8 dilated"):
+        eng.restore(file=npz)
+
+
+def test_release_skips_missing_member(tiny_run, monkeypatch, capsys):
+    """A partially-present ensemble release degrades to the members on
+    disk instead of refusing outright (round-3 machine-reset lesson)."""
+    import shutil
+    eng, tmp_path = tiny_run
+    eng.save(epoch=4)
+    from scripts import make_release
+    out = tmp_path / "release"
+    make_release.main([
+        "--save_path", str(tmp_path / "runs"),
+        "--member", f"{eng.experiment_name}:3",
+        "--member", f"{eng.experiment_name}:4",
+        "--layers", "2", "--root_size", "4", "--dilated", "0",
+        "--out", str(out)])
+    meta = json.loads((out / "release.json").read_text())
+    shutil.rmtree(out / meta["members"][0]["checkpoint"])
+    import run as run_script
+    monkeypatch.setattr(run_script, "RELEASE_DIR", str(out))
+    ckpts, _ = run_script.release_checkpoint()
+    assert [os.path.basename(c) for c in ckpts] == [
+        meta["members"][1]["checkpoint"]]
+    # and with every member gone, it falls back cleanly
+    shutil.rmtree(out / meta["members"][1]["checkpoint"])
+    ckpts2, meta2 = run_script.release_checkpoint()
+    assert (ckpts2, meta2) == (None, None)
