@@ -196,6 +196,11 @@ def export_npz(state: Any, path: str, geometry: Optional[dict] = None,
     size; the restore-time cast error is ~1e-3 relative, far below the
     0.25 patch-quantization threshold the masks go through). Non-float
     leaves and the ``step`` counter are stored exactly.
+
+    ``dtype="int8"`` quantizes each float leaf symmetrically per-tensor
+    (stored with a float32 ``__scale__`` sidecar entry): quarter the fp32
+    size at ~0.4 % worst-case relative error — for the 124 M-param
+    flagship the difference between a ~250 MB and a ~119 MB git blob.
     """
     import json
 
@@ -205,9 +210,16 @@ def export_npz(state: Any, path: str, geometry: Optional[dict] = None,
     for kp, leaf in jax.tree_util.tree_flatten_with_path(
             state["params"])[0]:
         arr = np.asarray(leaf)
+        key = "params/" + _keypath_str(kp)
+        if np.issubdtype(arr.dtype, np.floating) and dtype == "int8":
+            scale = float(np.max(np.abs(arr))) / 127.0 or 1.0
+            flat[key] = np.clip(np.rint(arr / scale), -127, 127
+                                ).astype(np.int8)
+            flat["__scale__/" + key] = np.float32(scale)
+            continue
         if np.issubdtype(arr.dtype, np.floating) and dtype:
             arr = arr.astype(dtype)
-        flat["params/" + _keypath_str(kp)] = arr
+        flat[key] = arr
     flat["__step__"] = np.asarray(state.get("step", 0))
     if geometry is not None:
         flat["__geometry__"] = np.array(
@@ -252,9 +264,14 @@ def restore_npz(template: Any, path: str) -> dict:
         raise ValueError(
             f"npz {path} does not match the model's param tree "
             f"(missing {missing}..., unexpected {extra}...)")
-    out = [np.asarray(payload["params/" + _keypath_str(kp)],
-                      np.asarray(leaf).dtype)
-           for kp, leaf in leaves]
+    def load(kp, leaf):
+        key = "params/" + _keypath_str(kp)
+        arr = payload[key]
+        if "__scale__/" + key in payload:  # int8 per-tensor quantization
+            arr = arr.astype(np.float32) * payload["__scale__/" + key]
+        return np.asarray(arr, np.asarray(leaf).dtype)
+
+    out = [load(kp, leaf) for kp, leaf in leaves]
     return {"step": payload["__step__"],
             "params": jax.tree_util.tree_unflatten(treedef, out)}
 

@@ -81,6 +81,10 @@ def main(argv=None):
                         "resets and fresh clones — the reference "
                         "distributes weights by download, run.py:46-119; "
                         "here git is the only distribution channel)")
+    p.add_argument("--npz_dtype", default="float16",
+                   choices=("float16", "int8"),
+                   help="npz weight payload: float16 (half size, ~1e-3 "
+                        "error) or int8 per-tensor (quarter size, ~4e-3)")
     p.add_argument("--score-json", default="{}",
                    help="JSON dict of quality scores to record")
     p.add_argument("--notes", default="")
@@ -158,7 +162,8 @@ def main(argv=None):
             from roadseg_tpu.utils.checkpoint import export_npz
             state = ocp.PyTreeCheckpointer().restore(os.path.abspath(dst))
             npz_path = dst + ".npz"  # <member>.chkpt.npz next to the dir
-            export_npz(state, npz_path, geometry=member_geo)
+            export_npz(state, npz_path, geometry=member_geo,
+                       dtype=args.npz_dtype)
             entry["npz"] = os.path.basename(npz_path)
             entry["npz_sha256"] = hashlib.sha256(
                 open(npz_path, "rb").read()).hexdigest()

@@ -218,3 +218,25 @@ def test_release_skips_missing_member(tiny_run, monkeypatch, capsys):
     shutil.rmtree(out / meta["members"][1]["checkpoint"])
     ckpts2, meta2 = run_script.release_checkpoint()
     assert (ckpts2, meta2) == (None, None)
+
+
+def test_npz_int8_quantized_roundtrip(tiny_run):
+    """int8 per-tensor export (quarter-size git blob for the 124M-param
+    flagship) dequantizes within ~0.5% of each tensor's max."""
+    import jax
+
+    from roadseg_tpu.utils.checkpoint import export_npz, restore_npz
+    eng, tmp_path = tiny_run
+    state = jax.device_get(eng.state)
+    npz = str(tmp_path / "w8.npz")
+    export_npz(state, npz, geometry=eng.model_geometry, dtype="int8")
+    got = restore_npz({"params": state["params"]}, npz)
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(
+            state["params"])[0]:
+        back = got["params"]
+        for k in kp:
+            back = back[k.key]
+        a = np.asarray(leaf, np.float32)
+        tol = float(np.max(np.abs(a))) / 127.0 * 0.5 + 1e-8
+        assert np.max(np.abs(np.asarray(back, np.float32) - a)) <= tol
+        assert back.dtype == np.asarray(leaf).dtype
