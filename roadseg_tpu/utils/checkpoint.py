@@ -211,6 +211,13 @@ def export_npz(state: Any, path: str, geometry: Optional[dict] = None,
             state["params"])[0]:
         arr = np.asarray(leaf)
         key = "params/" + _keypath_str(kp)
+        if np.issubdtype(arr.dtype, np.floating):
+            # a NaN/inf weight would silently poison the whole exported
+            # tensor (NaN is truthy, so an `or 1.0` guard can't catch it);
+            # fail the export loudly instead (ADVICE round 3)
+            if not np.isfinite(arr).all():
+                raise ValueError(
+                    f"non-finite values in {key}; refusing to export")
         if np.issubdtype(arr.dtype, np.floating) and dtype == "int8":
             scale = float(np.max(np.abs(arr))) / 127.0 or 1.0
             flat[key] = np.clip(np.rint(arr / scale), -127, 127

@@ -249,10 +249,18 @@ def main(argv=None):
         if ckpts is None and args.dilated is None:
             ckpts, meta = release_checkpoint()
             if meta is not None:
-                # the release decides the model geometry
+                # the release decides the model geometry. A partial release
+                # (some members missing on disk) may lead with a non-primary
+                # member whose geometry differs from the top-level "model"
+                # entry — adopt the surviving member's own geometry, and
+                # label the run by the member actually restored (ADVICE
+                # round 3).
                 config.update(meta.get("model", {}))
+                lead_geo = ckpt_lib.read_geometry(ckpts[0])
+                if lead_geo is not None:
+                    config.update(lead_geo)
                 kind = (f"{len(ckpts)}-member ensemble" if len(ckpts) > 1
-                        else f"model {meta['checkpoint']}")
+                        else f"model {os.path.basename(ckpts[0])}")
                 print(f"using release {kind} "
                       f"(from {meta['source_experiment']} "
                       f"epoch {meta['source_epoch']})")

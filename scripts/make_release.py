@@ -50,6 +50,16 @@ RELEASE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "artifacts", "release")
 
 
+def _sha256_file(path: str, chunk: int = 1 << 20) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(chunk)
+            if not block:
+                return h.hexdigest()
+            h.update(block)
+
+
 def main(argv=None):
     # Packaging is pure file IO (copy + SHA-256 verify), but constructing
     # the Orbax Checkpointer initializes the jax backend — force CPU so a
@@ -150,7 +160,7 @@ def main(argv=None):
             raise SystemExit(
                 "copy corrupted: manifest mismatch after copytree")
         manifest = os.path.join(dst, "SHA256SUMS")
-        digest = hashlib.sha256(open(manifest, "rb").read()).hexdigest()
+        digest = _sha256_file(manifest)
         entry = {"checkpoint": base, "source_experiment": date,
                  "source_epoch": epoch, "manifest_sha256": digest}
         member_geo = read_geometry(dst)
@@ -160,13 +170,18 @@ def main(argv=None):
             import orbax.checkpoint as ocp
 
             from roadseg_tpu.utils.checkpoint import export_npz
+            # npz export needs only params+step; drop the optimizer trace
+            # (present in full, non-light checkpoints) before exporting to
+            # bound host RAM at ~1x params (ADVICE round 3)
             state = ocp.PyTreeCheckpointer().restore(os.path.abspath(dst))
+            state = {"params": state["params"],
+                     "step": state.get("step", 0)}
             npz_path = dst + ".npz"  # <member>.chkpt.npz next to the dir
             export_npz(state, npz_path, geometry=member_geo,
                        dtype=args.npz_dtype)
+            del state
             entry["npz"] = os.path.basename(npz_path)
-            entry["npz_sha256"] = hashlib.sha256(
-                open(npz_path, "rb").read()).hexdigest()
+            entry["npz_sha256"] = _sha256_file(npz_path)
             print(f"npz weight export: {npz_path} "
                   f"({os.path.getsize(npz_path) >> 20} MiB)")
         packaged.append(entry)

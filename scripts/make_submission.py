@@ -48,7 +48,13 @@ def main(argv=None):
     ckpt = os.path.abspath(ckpt)  # orbax requires absolute paths
     out_dir = args.out or os.path.join(os.path.dirname(ckpt), "submission")
 
-    opts = Options(num_layers=6, root_size=64, dilated_layers=True,
+    # adopt the checkpoint's own model geometry (Orbax sidecar or npz
+    # __geometry__); the dilated flagship is only the fallback for bare
+    # checkpoints without one
+    from roadseg_tpu.utils import checkpoint as ckpt_lib
+    geo = ckpt_lib.read_geometry(ckpt) or dict(
+        num_layers=6, root_size=64, dilated_layers=True)
+    opts = Options(**geo,
                    patch_size=388, stride=110, batch_size=9,
                    ensemble_prediction=True, num_epoch=0,
                    save_path="runs", logdir="runs/logs")

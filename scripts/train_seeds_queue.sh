@@ -11,10 +11,24 @@
 # Usage: train_seeds_queue.sh SEED[:RESUME_DIR] ...
 set -u
 cd /root/repo
+LOG_PREFIX=${TRAIN_LOG_PREFIX:-train_r4_seed}
+# Deadline-guarded wait (round-3 postmortem: two queues died silently at
+# "waiting for pid" — a stuck wait must alarm and eventually give up, not
+# eat the round with zero output).
+WAIT_DEADLINE=${WAIT_DEADLINE:-7200}
 PREV_PID=$(cat /tmp/train.pid 2>/dev/null)
-echo "waiting for in-flight training pid=$PREV_PID..."
-while [ -n "$PREV_PID" ] && kill -0 "$PREV_PID" 2>/dev/null; do sleep 30; done
+echo "waiting for in-flight training pid=$PREV_PID (deadline ${WAIT_DEADLINE}s)..."
+waited=0
+while [ -n "$PREV_PID" ] && kill -0 "$PREV_PID" 2>/dev/null; do
+  sleep 30; waited=$((waited + 30))
+  [ $((waited % 600)) -eq 0 ] && echo "ALARM: still waiting on pid=$PREV_PID after ${waited}s $(date -u +%H:%M:%S)"
+  if [ "$waited" -ge "$WAIT_DEADLINE" ]; then
+    echo "ALARM: wait deadline exceeded; proceeding anyway $(date -u +%H:%M:%S)"
+    break
+  fi
+done
 echo "chip free $(date -u +%H:%M:%S)"
+echo $$ > /tmp/train.pid
 
 probe() {
   timeout 120 python -c "
@@ -50,7 +64,7 @@ for spec in "$@"; do
     before=$(ls runs 2>/dev/null)
     echo "--- attempt $att: $args"
     timeout 4200 python scripts/train_flagship.py $args \
-      >> "artifacts/train_r3b_seed$seed.log" 2>&1
+      >> "artifacts/${LOG_PREFIX}$seed.log" 2>&1
     rc=$?
     echo "seed $seed attempt $att exit=$rc $(date -u +%H:%M:%S)"
     if [ -z "$dir" ]; then

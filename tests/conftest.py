@@ -23,3 +23,23 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.device_count() == 8, (
     "tests expect 8 virtual CPU devices; backend was initialized too early")
+
+
+# ---------------------------------------------------------------------------
+# Two-tier suite (VERDICT round 3, task 8): the default run is the fast tier
+# (skips @pytest.mark.slow — full-model backend parity, multi-epoch engine
+# runs, e2e CLI flows) so it stays under ~2 min and keeps being run as a
+# whole. The full suite runs with ROADSEG_FULL_TESTS=1; `-m slow` runs only
+# the slow tier. Any explicit -m expression disables the auto-skip.
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("-m") or os.environ.get("ROADSEG_FULL_TESTS"):
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow tier (ROADSEG_FULL_TESTS=1 or -m slow to run)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

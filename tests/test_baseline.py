@@ -9,6 +9,7 @@ synthetic road-like data.
 import numpy as np
 
 from roadseg_tpu.models import baseline
+import pytest
 
 
 def _img_crop_reference(im, w, h):
@@ -74,6 +75,7 @@ def test_logreg_learns_separable():
     assert acc > 0.97
 
 
+@pytest.mark.slow
 def test_patch_cnn_learns_synthetic_roads():
     rng = np.random.RandomState(4)
     n = 6

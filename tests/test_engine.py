@@ -26,6 +26,7 @@ def data():
     return imgs, gt
 
 
+@pytest.mark.slow
 def test_train_epoch_reduces_loss(tmp_path, data):
     imgs, gt = data
     opts = tiny_opts(tmp_path, lr=0.05)
@@ -48,6 +49,7 @@ def test_train_epoch_reduces_loss(tmp_path, data):
     assert np.mean(losses[-4:]) < np.mean(losses[:4]) + 0.05
 
 
+@pytest.mark.slow
 def test_train_with_augmentation_and_dropout(tmp_path, data):
     imgs, gt = data
     opts = tiny_opts(tmp_path, image_augmentation=True, dropout=0.8)
@@ -84,6 +86,7 @@ def test_predict_batchwise_matches_predict(tmp_path, data):
     np.testing.assert_allclose(full, chunked, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_resolution(tmp_path, data):
     imgs, gt = data
     opts = tiny_opts(tmp_path)
@@ -157,6 +160,7 @@ def test_light_save_roundtrip(tmp_path, data):
     assert "params" in avg
 
 
+@pytest.mark.slow
 def test_tensor_parallel_mesh_matches_data_parallel(tmp_path, data):
     """data=4,model=2 TP run produces the same predictions as pure DP."""
     from roadseg_tpu.parallel.mesh import make_mesh
@@ -192,6 +196,7 @@ class _RecordingWriter:
         pass
 
 
+@pytest.mark.slow
 def test_in_training_eval_and_score_hooks(tmp_path, data):
     """The periodic eval/train-score hooks (tf_aerial_images.py:254-267)
     must emit eval scalars + images and train-score scalars mid-epoch,
@@ -260,6 +265,7 @@ def test_predict_retraces_after_options_mutation(tmp_path, data):
     assert Engine._predict_fn.cache_info().currsize == 3
 
 
+@pytest.mark.slow
 def test_sharded_training_matches_single_device(tmp_path, data):
     """End-to-end gradient-psum correctness: a data=8 sharded run follows
     the same loss trajectory as a single-device run with the same seed."""
@@ -290,6 +296,7 @@ def test_sharded_training_matches_single_device(tmp_path, data):
     np.testing.assert_allclose(head_1, head_8, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_monolithic_batch(tmp_path, data):
     """One optimizer step at batch_size=2, grad_accum=2 must equal a
     monolithic batch-4 step on the same 4 samples: microbatch-mean grads

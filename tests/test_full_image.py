@@ -23,6 +23,8 @@ from roadseg_tpu.models import unet
 from roadseg_tpu.ops import augment as augment_ops
 from roadseg_tpu.ops import geometry
 
+pytestmark = pytest.mark.slow  # full-model predict comparisons: slow tier
+
 
 def tiny_opts(tmp_path, **kw):
     base = dict(

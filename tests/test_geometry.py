@@ -29,6 +29,7 @@ def np_extract_patches(images, patch_size, stride):
 
 
 class TestExtractPatches:
+    @pytest.mark.slow
     def test_608_stride16_patch128_shapes(self):
         imgs = np.random.default_rng(0).integers(
             0, 255, size=(2, 608, 608, 3)).astype(np.float32)
@@ -67,6 +68,7 @@ class TestExtractPatches:
 
 
 class TestImagesFromPatches:
+    @pytest.mark.slow
     def test_round_trip_608_stride16(self):
         rng = np.random.default_rng(3)
         imgs = rng.random((2, 608, 608, 3)).astype(np.float32)

@@ -32,6 +32,7 @@ def _engine(tmp_path, name=None, **kw):
     return Engine(Options(**cfg), experiment_name=name)
 
 
+@pytest.mark.slow
 def test_save_writes_geometry_sidecar(tmp_path):
     eng = _engine(tmp_path, dilated_layers=True)
     path = eng.save(0)
@@ -42,6 +43,7 @@ def test_save_writes_geometry_sidecar(tmp_path):
     assert checkpoint.read_geometry(path) == eng.model_geometry
 
 
+@pytest.mark.slow
 def test_infer_geometry_from_orbax_metadata(tmp_path):
     """Pre-sidecar checkpoints are identified from param-tree metadata."""
     eng = _engine(tmp_path, num_layers=3, root_size=8)

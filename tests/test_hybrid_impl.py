@@ -12,8 +12,10 @@ Off-TPU the Pallas legs run in interpret mode via ROADSEG_PALLAS_INTERPRET=1
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_unet_hybrid_backend_matches_xla(monkeypatch):
     """Full-model A/B: conv_impl='hybrid' (interpret) vs 'xla'."""
     monkeypatch.setenv("ROADSEG_PALLAS_INTERPRET", "1")
@@ -44,6 +46,7 @@ def test_unet_hybrid_backend_matches_xla(monkeypatch):
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 def test_hybrid_dispatch_rule(monkeypatch):
     """hybrid sends sub-1024-channel 3x3s and all 1x1s to XLA, every
     deconv block to the Pallas kernel, and >=1024-channel 3x3s to the

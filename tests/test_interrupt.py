@@ -9,8 +9,10 @@ import numpy as np
 
 from roadseg_tpu.config import Options
 from roadseg_tpu.engine import Engine
+import pytest
 
 
+@pytest.mark.slow
 def test_sigterm_mid_epoch_checkpoints_and_returns(tmp_path):
     opts = Options(num_layers=2, root_size=4, patch_size=16, stride=16,
                    batch_size=8, num_epoch=1, eval_every=0,

@@ -31,6 +31,7 @@ def data_dir(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_then_submit(data_dir, tmp_path):
     save = tmp_path / "runs"
     common = [

@@ -12,8 +12,10 @@ config, not a pad op).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_unet_pad8_backend_matches_xla_exactly():
     """Full-model A/B at a size where every conv output is unaligned."""
     from roadseg_tpu.models.unet import UNet, init_params

@@ -49,6 +49,7 @@ def test_forward_matches_xla(n, h, w, cin, cout, d):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n,h,w,cin,cout,d", SHAPES)
 def test_dw_matches_xla(n, h, w, cin, cout, d):
     x, k, b = make_inputs(n, h, w, cin, cout)
@@ -63,6 +64,7 @@ def test_dw_matches_xla(n, h, w, cin, cout, d):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n,h,w,cin,cout,d", SHAPES[:4])
 def test_custom_vjp_matches_xla_grads(n, h, w, cin, cout, d):
     x, k, b = make_inputs(n, h, w, cin, cout)
@@ -93,6 +95,7 @@ def test_bf16_forward_close_to_f32():
                                rtol=0.05, atol=0.1)
 
 
+@pytest.mark.slow
 def test_unet_pallas_backend_matches_xla(monkeypatch):
     """Full model A/B: conv_impl='pallas' (interpret) vs 'xla' — forward
     and gradients agree."""
@@ -125,6 +128,7 @@ def test_unet_pallas_backend_matches_xla(monkeypatch):
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("d", [1, 2])
 def test_fused_relu_forward_and_grads(d):
     x, k, b = make_inputs(1, 20, 24, 8, 8, seed=5)

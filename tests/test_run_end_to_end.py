@@ -97,6 +97,7 @@ def test_run_main_reproduces_member_mask_average(release_and_data,
         (tmp_path / "oracle" / "submission.csv").read_text()
 
 
+@pytest.mark.slow
 def test_run_main_mixed_geometry_ensemble(tmp_path, monkeypatch):
     """An ensemble release whose members span architectures: run.py must
     rebuild its Engine per member geometry and still reproduce the

@@ -129,6 +129,7 @@ class TestDropout:
         b = model.apply(params, x, dropout_keep=1.0, deterministic=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_training_dropout_is_stochastic(self):
         model = tiny_model()
         params = unet.init_params(model, 32)
