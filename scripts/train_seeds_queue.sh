@@ -56,7 +56,7 @@ for spec in "$@"; do
     fi
     until probe; do echo "tunnel down; sleep 120 $(date -u +%H:%M:%S)"; sleep 120; done
     args="--epochs 30 --batch 8 --lr 0.08 --val 0 --no-remat --dilated 0 \
-          --seed $seed --save_from 12"
+          --seed $seed --save_from 12 ${TRAIN_EXTRA_ARGS:-}"
     if [ -n "$dir" ]; then
       next=$(( $(last_epoch "$dir") + 1 ))
       args="$args --resume $dir --start_epoch $next"
