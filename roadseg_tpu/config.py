@@ -87,6 +87,14 @@ class Options:
     grad_accum: int = 1
     # Emit a jax.profiler trace (TensorBoard-loadable) of the first epoch.
     profile: bool = False
+    # Cross-entropy weight on road pixels (class 1); background stays 1.0.
+    # The loss is the weight-normalized mean so the loss scale (and thus
+    # the reference lr semantics) is preserved. 1.0 = reference-faithful
+    # unweighted mean CE (tf_aerial_images.py:103-110). <1.0 penalizes
+    # road predictions less, i.e. pushes predicted road fraction DOWN —
+    # the targeted lever for the measured ~+1% road-fraction bias vs the
+    # 94.124 winner (docs/PARITY.md, road_frac 0.2527 vs 0.2474).
+    class_weight_road: float = 1.0
     # Full-image inference: predict each test image in ONE valid-conv
     # forward pass (the U-Net is fully convolutional — 608 input maps to
     # output 612 / input 988 at 6 layers, cropped back to 608) instead of
@@ -214,6 +222,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Microbatches averaged per optimizer step "
                         "(effective batch = grad_accum*batch_size); 1 = off")
     boolean("profile", d.profile, "Profile the first training epoch")
+    p.add_argument("--class_weight_road", type=float, default=d.class_weight_road,
+                   help="Cross-entropy weight on road pixels (1.0 = "
+                        "reference-faithful unweighted; <1 lowers predicted "
+                        "road fraction)")
     boolean("full_image", d.full_image,
             "Predict each image in one full-image valid-conv pass instead "
             "of the sliding window (throughput mode; masks differ slightly "

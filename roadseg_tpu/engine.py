@@ -286,6 +286,13 @@ class Engine:
                 ce = optax.softmax_cross_entropy_with_integer_labels(
                     logits, labels)
                 probs = jax.nn.softmax(logits, axis=-1)[..., 1]
+                cw = float(opts.class_weight_road)
+                if cw != 1.0:
+                    # Weight-normalized mean keeps the loss scale (and the
+                    # reference lr semantics) independent of cw; road pixels
+                    # (class 1) get weight cw, background 1.0.
+                    w = jnp.where(labels == 1, cw, 1.0)
+                    return (ce * w).sum() / w.sum(), probs
                 return ce.mean(), probs
 
             (loss, probs), grads = jax.value_and_grad(

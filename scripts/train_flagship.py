@@ -68,6 +68,9 @@ def main(argv=None):
                         "device_get+write; sweeps/SWA/ensembling need only "
                         "params). The final epoch is always saved full so "
                         "--resume continues with exact momentum.")
+    p.add_argument("--class_weight_road", type=float, default=1.0,
+                   help="CE weight on road pixels (<1 lowers predicted "
+                        "road fraction; 1.0 = reference-faithful)")
     p.add_argument("--seed", type=int, default=2017,
                    help="training seed (init, shuffle, augmentation)")
     p.add_argument("--quick", action="store_true",
@@ -89,6 +92,7 @@ def main(argv=None):
         lr=args.lr, momentum=0.9, num_epoch=args.epochs,
         decay_steps=decay_steps,
         eval_every=0, train_score_every=0, remat=args.remat,
+        class_weight_road=args.class_weight_road,
         seed=args.seed,
         save_path=args.save_path,
         logdir=os.path.join(args.save_path, "logs"),

@@ -324,3 +324,36 @@ def test_grad_accum_matches_monolithic_batch(tmp_path, data):
     assert m_accum["errors"] == pytest.approx(m_mono["errors"], rel=1e-4)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         a, b, rtol=1e-4, atol=1e-5), params_mono, params_accum)
+
+
+@pytest.mark.slow
+def test_class_weight_road_loss_semantics(tmp_path, data):
+    """class_weight_road=1.0 must be bit-identical to the default
+    (reference-faithful) unweighted CE path; on all-background labels any
+    weight is a no-op (every pixel weight is 1.0); on mixed labels a
+    down-weight must change the loss. Guards the weight-normalized-mean
+    wiring in engine `loss_fn` (config.class_weight_road)."""
+    imgs, gt = data
+
+    def one_step(cw, gt_override=None):
+        opts = tiny_opts(tmp_path, lr=0.05, image_augmentation=False,
+                         dropout=1.0, class_weight_road=cw)
+        eng = Engine(opts)
+        eng.prepare_training_data(imgs, gt_override if gt_override is not None
+                                  else gt, rotation_angles=[0])
+        step_fn = eng._build_train_step()
+        idx = np.asarray(eng._index_table[:8])
+        state, metrics = step_fn(eng.state, eng._ext_imgs, eng._ext_gt,
+                                 idx, jax.random.PRNGKey(7))
+        return (jax.device_get(state["params"]),
+                float(jax.device_get(metrics["loss"])))
+
+    params_def, loss_def = one_step(1.0)
+    params_w, loss_w = one_step(0.5)
+    assert loss_w != pytest.approx(loss_def, rel=1e-6)
+    jax.tree.map(lambda a, b: (a != b).any() and None, params_def, params_w)
+
+    bg = np.zeros_like(gt)
+    _, loss_bg1 = one_step(1.0, gt_override=bg)
+    _, loss_bg05 = one_step(0.5, gt_override=bg)
+    assert loss_bg05 == pytest.approx(loss_bg1, rel=1e-6)
