@@ -38,6 +38,14 @@ def main(argv=None):
     p.add_argument("--out", default="artifacts/ensemble_final")
     p.add_argument("--search_json", default="artifacts/ensemble_search.json")
     p.add_argument("--skip_release", action="store_true")
+    p.add_argument("--npz", type=int, default=0,
+                   help="export the first N members as git-committable npz "
+                        "weights (passed through to make_release; round-3 "
+                        "postmortem: two VM resets destroyed every "
+                        "gitignored Orbax payload — npz-per-member is the "
+                        "only durable distribution channel)")
+    p.add_argument("--npz_dtype", default="float16",
+                   choices=("float16", "int8"))
     args = p.parse_args(argv)
 
     import ensemble_runs
@@ -61,7 +69,13 @@ def main(argv=None):
     for n in names:
         date, ep = n.rsplit("_epoch", 1)
         members.append(f"{date}:{int(ep)}")
-    print(f"best subset k={best_k}: agreement {best['agreement']:.5f}")
+    lineages = {m.split(":")[0] for m in members}
+    print(f"best subset k={best_k}: agreement {best['agreement']:.5f} "
+          f"({len(lineages)} lineage(s): {sorted(lineages)})")
+    if len(lineages) == 1 and len(members) > 1:
+        print("WARNING: member set collapsed to ONE lineage — same-lineage "
+              "late epochs agree 0.975-0.985 with each other and add little "
+              "diversity (PARITY.md round 3); prefer a cross-lineage set")
 
     rc = ensemble_runs.main(
         [a for m in members for a in ("--member", m)]
@@ -78,6 +92,7 @@ def main(argv=None):
         import make_release
         rc = make_release.main(
             [a for m in members for a in ("--member", m)]
+            + ["--npz", str(args.npz), "--npz_dtype", args.npz_dtype]
             + ["--score-json", json.dumps(
                 {"agreement": round(parity["agreement"], 5),
                  "f1_vs_ref": round(parity["f1_vs_ref"], 5)}),

@@ -106,6 +106,11 @@ def main(argv=None):
             raise SystemExit("--member and --date/--epoch are exclusive")
         members = [m.rsplit(":", 1) for m in args.member]
         members = [(d, int(e)) for d, e in members]
+        if len({d for d, _ in members}) == 1 and len(members) > 1:
+            print("WARNING: all release members come from ONE lineage — "
+                  "consecutive epochs of one run agree 0.975-0.985 with "
+                  "each other and buy little ensemble diversity (PARITY.md "
+                  "round 3; VERDICT round 3 weak #2)")
     elif args.date is None or args.epoch is None:
         raise SystemExit("pass --date + --epoch, or --member DATE:EPOCH ...")
     else:

@@ -1,0 +1,120 @@
+#!/bin/bash
+# Round-4 release rebuild queue (runs after scripts/r4_endgame.sh).
+#
+#   1. seed-14 lineage with class_weight_road=0.9 — the road-fraction-bias
+#      treatment arm (VERDICT r3 task 7) that doubles as a recipe-diverse
+#      ensemble member (PARITY.md: cross-lineage diversity is the live
+#      parity lever)
+#   2. SWA member + mask-cache populate for that lineage
+#   3. cross-lineage subset search -> release package with an npz weight
+#      file for EVERY member (VERDICT r3 task 1: two VM resets destroyed
+#      every gitignored Orbax payload; git-committed npz is the only
+#      durable channel). npz dtype = int8 if the endgame's end-to-end
+#      int8-vs-orbax verify (stage 4) shows >=0.999 patch agreement,
+#      else float16.
+#   4. ./run.py and ./run.py --fuse front-door verifies + parity records
+#
+# Every wait is deadline-guarded with alarm lines; every stage has a
+# wall-clock cutoff so a wedged stage can't silently eat the round
+# (round-3 postmortem).
+set -u
+cd /root/repo
+WAIT_PID=$(cat "${1:-/tmp/endgame_outer.pid}" 2>/dev/null)
+WAIT_DEADLINE=${WAIT_DEADLINE:-18000}
+echo "waiting for endgame pid=$WAIT_PID (deadline ${WAIT_DEADLINE}s)..."
+waited=0
+while [ -n "$WAIT_PID" ] && kill -0 "$WAIT_PID" 2>/dev/null; do
+  sleep 60; waited=$((waited + 60))
+  [ $((waited % 600)) -eq 0 ] && echo "still waiting on pid=$WAIT_PID after ${waited}s $(date -u +%H:%M:%S)"
+  if [ "$waited" -ge "$WAIT_DEADLINE" ]; then
+    echo "ALARM: wait deadline exceeded; proceeding anyway $(date -u +%H:%M:%S)"
+    break
+  fi
+done
+echo "endgame done, chip free $(date -u +%H:%M:%S)"
+echo $$ > /tmp/r4_release.pid
+
+probe() {
+  timeout 120 python -c "
+import jax, jax.numpy as jnp
+print('probe:', float(jnp.ones((8,128)).sum()), jax.devices())" \
+    >> artifacts/probe.log 2>&1
+}
+now() { date -u +%s; }
+CUT_TRAIN=${CUT_TRAIN:-$(date -u -d "today 12:10" +%s)}
+CUT_VERIFY=${CUT_VERIFY:-$(date -u -d "today 13:30" +%s)}
+
+echo "=== 1. seed-14 class_weight_road=0.9 lineage ($(date -u +%H:%M:%S))"
+if [ "$(now)" -lt "$CUT_TRAIN" ] && [ ! -f /tmp/r4_seed14.done ]; then
+  WAIT_DEADLINE=600 TRAIN_LOG_PREFIX=train_r4_seed \
+    TRAIN_EXTRA_ARGS="--class_weight_road 0.9" \
+    bash scripts/train_seeds_queue.sh 14 >> artifacts/trainq_r4b.log 2>&1
+  echo "seed-14 queue exit=$?"; touch /tmp/r4_seed14.done
+else echo "skip (past cutoff or done)"; fi
+
+# the lineage dir seed 14 trained into = newest run dir
+S14=$(ls -td runs/2026-* 2>/dev/null | head -1 | xargs -rn1 basename)
+echo "seed-14 lineage: $S14"
+
+echo "=== 2. SWA + populate for $S14 ($(date -u +%H:%M:%S))"
+last=$(ls "runs/$S14"/model-epoch-0*.chkpt 2>/dev/null \
+       | sed 's/.*epoch-0*\([0-9]*\)\.chkpt/\1/' | sort -n | tail -1)
+if [ -n "$last" ] && [ "$last" -ge 25 ]; then
+  timeout 900 python scripts/average_checkpoints.py --date "$S14" \
+    --epochs "24,25,26,27,28,29" --dilated 0 >> artifacts/swa_r4.log 2>&1
+  echo "SWA $S14 exit=$?"
+  MEMBERS=""
+  for e in $(ls "runs/$S14"/model-epoch-*.chkpt 2>/dev/null \
+             | sed 's/.*epoch-0*\([0-9]*\)\.chkpt/\1/' | sort -n); do
+    [ "$e" -ge 14 ] && MEMBERS="$MEMBERS $S14:$e"
+  done
+  bash scripts/populate_cache_members.sh artifacts/ensemble_r4b $MEMBERS
+  echo "populate exit=$?"
+else echo "skip ($S14 last epoch ${last:-none})"; fi
+
+echo "=== 3. search -> release package with npz for every member ($(date -u +%H:%M:%S))"
+NPZ_DTYPE=$(python -c "
+import json
+try:
+    r = json.load(open('artifacts/npz_verify_int8_vs_orbax.json'))
+    print('int8' if r['int8_vs_orbax_patch_agreement'] >= 0.999 else 'float16')
+except Exception:
+    print('float16')")
+echo "npz dtype: $NPZ_DTYPE"
+timeout 3600 python scripts/finalize_parity.py --max_k 16 \
+  --out artifacts/ensemble_r4_final --npz 99 --npz_dtype "$NPZ_DTYPE" \
+  > artifacts/finalize_parity_r4.log 2>&1
+echo "finalize exit=$?"; tail -3 artifacts/finalize_parity_r4.log
+
+echo "=== 4. run.py front-door verifies ($(date -u +%H:%M:%S))"
+score_vs_winner() {  # $1 = output dir
+  [ -f "$1/submission.csv" ] || return
+  timeout 600 python -c "
+import jax; jax.config.update('jax_platforms','cpu')
+import sys, json; sys.path.insert(0,'.')
+from roadseg_tpu.utils.scoring import compare_submissions
+r = compare_submissions('$1/submission.csv',
+    '/root/reference/submissions/2017-12-17T10h55m14s_multi_rotation'
+    '_stochastic_aug_6_layers_epoch_22_ensemble_dropout_1.0_94_124/'
+    'submission.csv')
+print(json.dumps(r))
+open('$1/parity_vs_winner.json','w').write(json.dumps(r, indent=2) + '\n')"
+}
+if [ "$(now)" -lt "$CUT_VERIFY" ]; then
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  timeout 1800 python run.py --fuse --out artifacts/run_verify_r4_fused \
+    > artifacts/run_verify_r4_fused.log 2>&1
+  echo "fused verify exit=$?"
+  score_vs_winner artifacts/run_verify_r4_fused
+  cat artifacts/run_verify_r4_fused/parity_vs_winner.json 2>/dev/null
+  if [ "$(now)" -lt "$CUT_VERIFY" ]; then
+    until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+    timeout 1800 python run.py --out artifacts/run_verify_r4 \
+      > artifacts/run_verify_r4.log 2>&1
+    echo "plain verify exit=$?"
+    score_vs_winner artifacts/run_verify_r4
+    cat artifacts/run_verify_r4/parity_vs_winner.json 2>/dev/null
+  fi
+else echo "skip (past cutoff)"; fi
+
+echo "=== r4_release done ($(date -u +%H:%M:%S))"
