@@ -210,7 +210,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("bfloat16", "float32"),
                    help="Compute dtype for activations")
     p.add_argument("--conv_impl", type=str, default=d.conv_impl,
-                   choices=("xla", "pallas", "hybrid", "pad8"),
+                   choices=("xla", "pallas", "hybrid", "hybrid_deconv",
+                            "pad8"),
                    help="Convolution backend")
     p.add_argument("--mesh", type=str, default=d.mesh,
                    help='Device mesh spec, e.g. "data=4,model=2"')

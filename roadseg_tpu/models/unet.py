@@ -117,8 +117,11 @@ class UpConvBlock(nn.Module):
         x = x.astype(self.dtype)
         skips = tuple(s.astype(self.dtype) for s in skips)
         # the fused kernel won at every decoder level on hardware
-        # (bench_kernels table: 1.01-1.69x) — hybrid always takes it
-        if self.conv_impl in ("pallas", "hybrid"):
+        # (bench_kernels table: 1.01-1.69x) — hybrid always takes it;
+        # hybrid_deconv takes ONLY this fusion (every conv stays on XLA),
+        # isolating the one measured per-shape win with no custom-VJP
+        # backward cost and the fewest fusion barriers
+        if self.conv_impl in ("pallas", "hybrid", "hybrid_deconv"):
             import os
             on_tpu = jax.default_backend() == "tpu"
             interpret = os.environ.get("ROADSEG_PALLAS_INTERPRET") == "1"

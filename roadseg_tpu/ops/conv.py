@@ -13,6 +13,12 @@ Three implementations behind one interface:
   pads small-spatial tiles and our kernel wins 1.7x) and for every fused
   deconv2x2+crop-concat decoder block (wins 1.0-1.7x at all five
   levels); XLA for large-spatial 3x3 convs and the 1x1s (XLA wins).
+* ``impl="hybrid_deconv"`` — ONLY the fused deconv2x2+crop-concat goes to
+  Pallas; all convs stay on XLA. The minimal-dispatch hybrid for the
+  forward-only predict path: no custom-VJP backward cost, one custom
+  call per decoder level (the fewest fusion barriers), keeping just the
+  fusion XLA structurally cannot do (upsample->concat across the
+  conv_transpose boundary).
 * ``impl="pad8"`` — XLA convs over an end-padded domain so output spatial
   dims land on 8-sublane boundaries (zero-copy: the pad is the conv's own
   padding config), sliced back to exact. Numerically identical to "xla"

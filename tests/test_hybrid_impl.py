@@ -96,3 +96,61 @@ def test_hybrid_dispatch_rule(monkeypatch):
     calls["conv3x3"] = 0  # init traced once
     mod.apply(p, xwide)
     assert calls["conv3x3"] == 1
+
+
+@pytest.mark.slow
+def test_unet_hybrid_deconv_backend(monkeypatch):
+    """conv_impl='hybrid_deconv': Pallas ONLY for the fused
+    deconv2x2+crop-concat (the per-shape win with no backward cost and
+    one custom call per decoder level); every conv — including >=1024-
+    channel bottlenecks — stays on XLA. Full-model A/B vs 'xla' plus the
+    dispatch-count rule."""
+    monkeypatch.setenv("ROADSEG_PALLAS_INTERPRET", "1")
+    import roadseg_tpu.kernels.conv1x1 as k1
+    import roadseg_tpu.kernels.conv3x3 as k3
+    import roadseg_tpu.kernels.deconv2x2 as kd
+    from roadseg_tpu.models.unet import UNet, init_params
+
+    calls = {"conv3x3": 0, "deconv": 0, "conv1x1": 0}
+    real3, reald, real1 = k3.conv3x3_bias, kd.deconv2x2_bias, k1.conv1x1_bias
+
+    def wrap(name, fn):
+        def inner(*a, **kw):
+            calls[name] += 1
+            return fn(*a, **kw)
+        return inner
+
+    monkeypatch.setattr(k3, "conv3x3_bias", wrap("conv3x3", real3))
+    monkeypatch.setattr(kd, "deconv2x2_bias", wrap("deconv", reald))
+    monkeypatch.setattr(k1, "conv1x1_bias", wrap("conv1x1", real1))
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(1, 52, 52, 3), jnp.float32)
+    m_x = UNet(num_layers=2, root_size=8, dilated_layers=False,
+               dtype=jnp.float32, conv_impl="xla")
+    m_d = UNet(num_layers=2, root_size=8, dilated_layers=False,
+               dtype=jnp.float32, conv_impl="hybrid_deconv")
+    params = init_params(m_x, 52)
+    calls.update({"conv3x3": 0, "deconv": 0, "conv1x1": 0})
+    out_x = m_x.apply(params, x, deterministic=True)
+    out_d = m_d.apply(params, x, deterministic=True)
+    np.testing.assert_allclose(out_d, out_x, rtol=1e-4, atol=1e-4)
+    assert calls == {"conv3x3": 0, "deconv": 1, "conv1x1": 0}
+
+    # bottleneck-width 3x3 stays on XLA under hybrid_deconv (the exact
+    # shape class 'hybrid' would dispatch to Pallas)
+    from roadseg_tpu.ops.conv import conv2d_valid
+    import flax.linen as nn
+
+    class One(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return conv2d_valid(self, x, 8, name="c", dtype=jnp.float32,
+                                impl="hybrid_deconv")
+
+    mod = One()
+    xwide = jnp.zeros((1, 6, 6, 1024), jnp.float32)
+    p = mod.init({"params": jax.random.PRNGKey(0)}, xwide)
+    calls["conv3x3"] = 0
+    mod.apply(p, xwide)
+    assert calls["conv3x3"] == 0
