@@ -86,6 +86,23 @@ timeout 3600 python scripts/finalize_parity.py --max_k 16 \
   > artifacts/finalize_parity_r4.log 2>&1
 echo "finalize exit=$?"; tail -3 artifacts/finalize_parity_r4.log
 
+echo "=== 3b. hybrid_deconv predict benches ($(date -u +%H:%M:%S))"
+# exclusive-chip window: the endgame's timing benches are done and the
+# verifies haven't started. Measures whether isolating the one per-shape
+# Pallas win (fused deconv2x2+concat) beats xla end-to-end on the
+# headline predict path (VERDICT r3 task 6's bar).
+if [ "$(now)" -lt "$CUT_VERIFY" ]; then
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  BENCH_CONV_IMPL=hybrid_deconv timeout 1500 python bench.py \
+    > artifacts/bench_r4_hybrid_deconv.json 2>&1
+  echo "hybrid_deconv exit=$?"; tail -1 artifacts/bench_r4_hybrid_deconv.json
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  BENCH_FULL_IMAGE=1 BENCH_CONV_IMPL=hybrid_deconv timeout 1500 \
+    python bench.py > artifacts/bench_r4_fullimage_hybrid_deconv.json 2>&1
+  echo "fullimage+hybrid_deconv exit=$?"
+  tail -1 artifacts/bench_r4_fullimage_hybrid_deconv.json
+else echo "skip (past cutoff)"; fi
+
 echo "=== 4. run.py front-door verifies ($(date -u +%H:%M:%S))"
 score_vs_winner() {  # $1 = output dir
   [ -f "$1/submission.csv" ] || return
