@@ -237,3 +237,49 @@ def test_scoring_label_roundtrip(tmp_path):
     parsed = scoring.submission_labels(
         str(tmp_path / "submission.csv"), IMG_PATCH_SIZE)
     assert (parsed == lab).all()
+
+
+def test_run_main_npz_only_release(release_and_data, monkeypatch):
+    """Fresh-clone simulation (ADVICE r3 medium item): a clone gets ONLY
+    the git-committable npz weight files — every Orbax member dir is
+    gone. ./run.py must restore all members from npz and produce exactly
+    the submission that direct npz restores + mask averaging produce."""
+    import shutil
+    eng, rel, data, tmp_path = release_and_data
+    from scripts import make_release
+    meta0 = json.loads((rel / "release.json").read_text())
+    # re-package with npz for every member, then wipe the Orbax payloads
+    rel2 = tmp_path / "release_npz"
+    rc = make_release.main([
+        "--save_path", str(tmp_path / "runs"),
+        "--member", f"{meta0['members'][0]['source_experiment']}:3",
+        "--member", f"{meta0['members'][0]['source_experiment']}:4",
+        "--npz", "99", "--npz_dtype", "float16",
+        "--out", str(rel2)])
+    assert rc == 0
+    meta = json.loads((rel2 / "release.json").read_text())
+    # oracle from the npz files themselves (fp16 payload != fp32 Orbax)
+    acc = None
+    imgs = images_io.load(str(data / "test"))
+    for m in meta["members"]:
+        eng.restore(file=str(rel2 / m["npz"]))
+        masks = np.asarray(eng.predict_batchwise(imgs, 2), np.float32)
+        acc = masks if acc is None else acc + masks
+    mean = acc / len(meta["members"])
+    want = np.asarray(geometry.quantize_mask(
+        mean, threshold=FOREGROUND_THRESHOLD, patch_size=IMG_PATCH_SIZE))
+    images_io.save_submission_csv(want, str(tmp_path / "oracle_npz"),
+                                  IMG_PATCH_SIZE)
+
+    for m in meta["members"]:
+        shutil.rmtree(rel2 / m["checkpoint"])  # the fresh clone has no Orbax
+
+    import run as run_script
+    monkeypatch.setattr(run_script, "RELEASE_DIR", str(rel2))
+    monkeypatch.setattr(run_script, "SUBMISSION_CONFIG", dict(TINY))
+    out = tmp_path / "out_npz"
+    rc = run_script.main(["--data", str(data), "--out", str(out),
+                          "--save_path", str(tmp_path / "runs")])
+    assert rc == 0
+    assert (out / "submission.csv").read_text() == \
+        (tmp_path / "oracle_npz" / "submission.csv").read_text()
