@@ -108,6 +108,7 @@ def main(argv=None):
         "accum2": dict(remat=False, conv_impl="xla", grad_accum=2),
         "accum4": dict(remat=False, conv_impl="xla", grad_accum=4),
         "pad8": dict(remat=False, conv_impl="pad8"),
+        "hybrid_deconv": dict(remat=False, conv_impl="hybrid_deconv"),
     }
     for name in args.variants.split(","):
         try:

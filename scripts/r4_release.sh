@@ -101,6 +101,12 @@ if [ "$(now)" -lt "$CUT_VERIFY" ]; then
     python bench.py > artifacts/bench_r4_fullimage_hybrid_deconv.json 2>&1
   echo "fullimage+hybrid_deconv exit=$?"
   tail -1 artifacts/bench_r4_fullimage_hybrid_deconv.json
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  timeout 1200 python scripts/bench_train.py --dilated 0 --batch 8 \
+    --variants hybrid_deconv \
+    > artifacts/bench_train_r4_hybrid_deconv.jsonl 2>&1
+  echo "hybrid_deconv train exit=$?"
+  grep -h '^{' artifacts/bench_train_r4_hybrid_deconv.jsonl
 else echo "skip (past cutoff)"; fi
 
 echo "=== 4. run.py front-door verifies ($(date -u +%H:%M:%S))"
