@@ -140,4 +140,42 @@ if [ "$(now)" -lt "$CUT_VERIFY" ]; then
   fi
 else echo "skip (past cutoff)"; fi
 
+echo "=== 5. commit the durable release (size-guarded) ($(date -u +%H:%M:%S))"
+# VERDICT r3 task 1: npz weights for EVERY member must live in git —
+# two VM resets already destroyed every gitignored Orbax payload.
+REL_BYTES=$(du -sb artifacts/release/ | cut -f1)
+if [ "$REL_BYTES" -lt 2000000000 ]; then
+  git add -f artifacts/release/release.json artifacts/release/fusion.json \
+    artifacts/release/*.npz 2>/dev/null
+  git add artifacts/ensemble_search.json artifacts/finalize_parity_r4.log \
+    artifacts/ensemble_r4_final 2>/dev/null
+  git commit -q -m "Round-4 release: cross-lineage ensemble with git-committed npz weights for every member
+
+Packaged by scripts/r4_release.sh stage 3 (search over the round-4 mask
+cache; scripts/finalize_parity.py parsimonious-k pick). Weight payloads
+committed as npz so a fresh clone reproduces the submission with no
+training and no external downloads (the reference distributes weights by
+download+sha256, run.py:46-119; git is this repo's only channel)." \
+    && echo "release committed" || echo "release commit FAILED (or empty)"
+else
+  echo "SKIP commit: release dir ${REL_BYTES} bytes exceeds 2 GB guard"
+fi
+
+echo "=== 6. fresh-clone npz-only verify ($(date -u +%H:%M:%S))"
+# A clone gets ONLY the committed npz (Orbax payloads are gitignored):
+# this is the exact fresh-user path (ADVICE r3 medium item).
+if [ "$(now)" -lt "$CUT_VERIFY" ]; then
+  rm -rf /tmp/freshclone
+  git clone -q /root/repo /tmp/freshclone
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  (cd /tmp/freshclone && timeout 1800 python run.py --fuse \
+     --out out_fused > run_fused.log 2>&1; echo "fresh-clone fuse exit=$?")
+  mkdir -p artifacts/run_verify_r4_freshclone
+  cp /tmp/freshclone/out_fused/submission.csv \
+     artifacts/run_verify_r4_freshclone/ 2>/dev/null
+  cp /tmp/freshclone/run_fused.log artifacts/run_verify_r4_freshclone/ 2>/dev/null
+  score_vs_winner artifacts/run_verify_r4_freshclone
+  cat artifacts/run_verify_r4_freshclone/parity_vs_winner.json 2>/dev/null
+else echo "skip (past cutoff)"; fi
+
 echo "=== r4_release done ($(date -u +%H:%M:%S))"
