@@ -1,10 +1,10 @@
 #!/bin/bash
 # Round-4 release rebuild queue (runs after scripts/r4_endgame.sh).
 #
-#   1. seed-14 lineage with class_weight_road=0.9 — the road-fraction-bias
-#      treatment arm (VERDICT r3 task 7) that doubles as a recipe-diverse
-#      ensemble member (PARITY.md: cross-lineage diversity is the live
-#      parity lever)
+#   1. seed-14b lineage with class_weight_road=0.9 — the road-fraction-
+#      bias treatment arm (VERDICT r3 task 7) that doubles as a recipe-
+#      diverse ensemble member (PARITY.md: cross-lineage diversity is the
+#      live parity lever)
 #   2. SWA member + mask-cache populate for that lineage
 #   3. cross-lineage subset search -> release package with an npz weight
 #      file for EVERY member (VERDICT r3 task 1: two VM resets destroyed
@@ -12,7 +12,12 @@
 #      durable channel). npz dtype = int8 if the endgame's end-to-end
 #      int8-vs-orbax verify (stage 4) shows >=0.999 patch agreement,
 #      else float16.
-#   4. ./run.py and ./run.py --fuse front-door verifies + parity records
+#   4. ./run.py --fuse and ./run.py front-door verifies + parity records
+#   5. size-guarded git commit of the npz release
+#   6. fresh-clone npz-only verify (the exact fresh-user path)
+#   7. hybrid_deconv predict/train benches (VERDICT r3 task 6) — LAST:
+#      kernel rows are worth less than the durable-release proof if the
+#      round runs short
 #
 # Every wait is deadline-guarded with alarm lines; every stage has a
 # wall-clock cutoff so a wedged stage can't silently eat the round
@@ -43,18 +48,33 @@ print('probe:', float(jnp.ones((8,128)).sum()), jax.devices())" \
 now() { date -u +%s; }
 CUT_TRAIN=${CUT_TRAIN:-$(date -u -d "today 12:10" +%s)}
 CUT_VERIFY=${CUT_VERIFY:-$(date -u -d "today 13:30" +%s)}
+CUT_BENCH2=${CUT_BENCH2:-$(date -u -d "today 13:50" +%s)}
 
-echo "=== 1. seed-14 class_weight_road=0.9 lineage ($(date -u +%H:%M:%S))"
+score_vs_winner() {  # $1 = output dir
+  [ -f "$1/submission.csv" ] || return
+  timeout 600 python -c "
+import jax; jax.config.update('jax_platforms','cpu')
+import sys, json; sys.path.insert(0,'.')
+from roadseg_tpu.utils.scoring import compare_submissions
+r = compare_submissions('$1/submission.csv',
+    '/root/reference/submissions/2017-12-17T10h55m14s_multi_rotation'
+    '_stochastic_aug_6_layers_epoch_22_ensemble_dropout_1.0_94_124/'
+    'submission.csv')
+print(json.dumps(r))
+open('$1/parity_vs_winner.json','w').write(json.dumps(r, indent=2) + '\n')"
+}
+
+echo "=== 1. seed-14b class_weight_road=0.9 lineage ($(date -u +%H:%M:%S))"
 if [ "$(now)" -lt "$CUT_TRAIN" ] && [ ! -f /tmp/r4_seed14.done ]; then
   WAIT_DEADLINE=600 TRAIN_LOG_PREFIX=train_r4_seed \
     TRAIN_EXTRA_ARGS="--class_weight_road 0.9" \
-    bash scripts/train_seeds_queue.sh 14 >> artifacts/trainq_r4b.log 2>&1
-  echo "seed-14 queue exit=$?"; touch /tmp/r4_seed14.done
+    bash scripts/train_seeds_queue.sh 14 >> artifacts/trainq_r4c.log 2>&1
+  echo "seed-14b queue exit=$?"; touch /tmp/r4_seed14.done
 else echo "skip (past cutoff or done)"; fi
 
-# the lineage dir seed 14 trained into = newest run dir
+# the lineage dir seed 14b trained into = newest run dir
 S14=$(ls -td runs/2026-* 2>/dev/null | head -1 | xargs -rn1 basename)
-echo "seed-14 lineage: $S14"
+echo "seed-14b lineage: $S14"
 
 echo "=== 2. SWA + populate for $S14 ($(date -u +%H:%M:%S))"
 last=$(ls "runs/$S14"/model-epoch-0*.chkpt 2>/dev/null \
@@ -86,43 +106,7 @@ timeout 3600 python scripts/finalize_parity.py --max_k 16 \
   > artifacts/finalize_parity_r4.log 2>&1
 echo "finalize exit=$?"; tail -3 artifacts/finalize_parity_r4.log
 
-echo "=== 3b. hybrid_deconv predict benches ($(date -u +%H:%M:%S))"
-# exclusive-chip window: the endgame's timing benches are done and the
-# verifies haven't started. Measures whether isolating the one per-shape
-# Pallas win (fused deconv2x2+concat) beats xla end-to-end on the
-# headline predict path (VERDICT r3 task 6's bar).
-if [ "$(now)" -lt "$CUT_VERIFY" ]; then
-  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
-  BENCH_CONV_IMPL=hybrid_deconv timeout 1500 python bench.py \
-    > artifacts/bench_r4_hybrid_deconv.json 2>&1
-  echo "hybrid_deconv exit=$?"; tail -1 artifacts/bench_r4_hybrid_deconv.json
-  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
-  BENCH_FULL_IMAGE=1 BENCH_CONV_IMPL=hybrid_deconv timeout 1500 \
-    python bench.py > artifacts/bench_r4_fullimage_hybrid_deconv.json 2>&1
-  echo "fullimage+hybrid_deconv exit=$?"
-  tail -1 artifacts/bench_r4_fullimage_hybrid_deconv.json
-  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
-  timeout 1200 python scripts/bench_train.py --dilated 0 --batch 8 \
-    --variants hybrid_deconv \
-    > artifacts/bench_train_r4_hybrid_deconv.jsonl 2>&1
-  echo "hybrid_deconv train exit=$?"
-  grep -h '^{' artifacts/bench_train_r4_hybrid_deconv.jsonl
-else echo "skip (past cutoff)"; fi
-
 echo "=== 4. run.py front-door verifies ($(date -u +%H:%M:%S))"
-score_vs_winner() {  # $1 = output dir
-  [ -f "$1/submission.csv" ] || return
-  timeout 600 python -c "
-import jax; jax.config.update('jax_platforms','cpu')
-import sys, json; sys.path.insert(0,'.')
-from roadseg_tpu.utils.scoring import compare_submissions
-r = compare_submissions('$1/submission.csv',
-    '/root/reference/submissions/2017-12-17T10h55m14s_multi_rotation'
-    '_stochastic_aug_6_layers_epoch_22_ensemble_dropout_1.0_94_124/'
-    'submission.csv')
-print(json.dumps(r))
-open('$1/parity_vs_winner.json','w').write(json.dumps(r, indent=2) + '\n')"
-}
 if [ "$(now)" -lt "$CUT_VERIFY" ]; then
   until probe; do echo "tunnel down; sleep 120"; sleep 120; done
   timeout 1800 python run.py --fuse --out artifacts/run_verify_r4_fused \
@@ -148,7 +132,8 @@ if [ "$REL_BYTES" -lt 2000000000 ]; then
   git add -f artifacts/release/release.json artifacts/release/fusion.json \
     artifacts/release/*.npz 2>/dev/null
   git add artifacts/ensemble_search.json artifacts/finalize_parity_r4.log \
-    artifacts/ensemble_r4_final 2>/dev/null
+    artifacts/ensemble_r4_final artifacts/run_verify_r4_fused \
+    artifacts/run_verify_r4 2>/dev/null
   git commit -q -m "Round-4 release: cross-lineage ensemble with git-committed npz weights for every member
 
 Packaged by scripts/r4_release.sh stage 3 (search over the round-4 mask
@@ -176,6 +161,27 @@ if [ "$(now)" -lt "$CUT_VERIFY" ]; then
   cp /tmp/freshclone/run_fused.log artifacts/run_verify_r4_freshclone/ 2>/dev/null
   score_vs_winner artifacts/run_verify_r4_freshclone
   cat artifacts/run_verify_r4_freshclone/parity_vs_winner.json 2>/dev/null
+else echo "skip (past cutoff)"; fi
+
+echo "=== 7. hybrid_deconv predict/train benches ($(date -u +%H:%M:%S))"
+# Measures whether isolating the one per-shape Pallas win (fused
+# deconv2x2+concat) beats xla end-to-end (VERDICT r3 task 6's bar).
+if [ "$(now)" -lt "$CUT_BENCH2" ]; then
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  BENCH_CONV_IMPL=hybrid_deconv timeout 1500 python bench.py \
+    > artifacts/bench_r4_hybrid_deconv.json 2>&1
+  echo "hybrid_deconv exit=$?"; tail -1 artifacts/bench_r4_hybrid_deconv.json
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  BENCH_FULL_IMAGE=1 BENCH_CONV_IMPL=hybrid_deconv timeout 1500 \
+    python bench.py > artifacts/bench_r4_fullimage_hybrid_deconv.json 2>&1
+  echo "fullimage+hybrid_deconv exit=$?"
+  tail -1 artifacts/bench_r4_fullimage_hybrid_deconv.json
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  timeout 1200 python scripts/bench_train.py --dilated 0 --batch 8 \
+    --variants hybrid_deconv \
+    > artifacts/bench_train_r4_hybrid_deconv.jsonl 2>&1
+  echo "hybrid_deconv train exit=$?"
+  grep -h '^{' artifacts/bench_train_r4_hybrid_deconv.jsonl
 else echo "skip (past cutoff)"; fi
 
 echo "=== r4_release done ($(date -u +%H:%M:%S))"
