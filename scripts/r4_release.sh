@@ -77,14 +77,17 @@ S14=$(ls -td runs/2026-* 2>/dev/null | head -1 | xargs -rn1 basename)
 echo "seed-14b lineage: $S14"
 
 echo "=== 2. SWA + populate for $S14 ($(date -u +%H:%M:%S))"
-last=$(ls "runs/$S14"/model-epoch-0*.chkpt 2>/dev/null \
-       | sed 's/.*epoch-0*\([0-9]*\)\.chkpt/\1/' | sort -n | tail -1)
+# -d: the .chkpt entries are Orbax DIRECTORIES; plain ls lists their
+# contents with ":"-suffixed headers and breaks the integer guards
+last=$(ls -d "runs/$S14"/model-epoch-0*.chkpt 2>/dev/null \
+       | sed 's/.*epoch-0*\([0-9]*\)\.chkpt/\1/' | awk '$1 < 900' \
+       | sort -n | tail -1)
 if [ -n "$last" ] && [ "$last" -ge 25 ]; then
   timeout 900 python scripts/average_checkpoints.py --date "$S14" \
     --epochs "24,25,26,27,28,29" --dilated 0 >> artifacts/swa_r4.log 2>&1
   echo "SWA $S14 exit=$?"
   MEMBERS=""
-  for e in $(ls "runs/$S14"/model-epoch-*.chkpt 2>/dev/null \
+  for e in $(ls -d "runs/$S14"/model-epoch-*.chkpt 2>/dev/null \
              | sed 's/.*epoch-0*\([0-9]*\)\.chkpt/\1/' | sort -n); do
     [ "$e" -ge 14 ] && MEMBERS="$MEMBERS $S14:$e"
   done
