@@ -72,8 +72,15 @@ if [ "$(now)" -lt "$CUT_TRAIN" ] && [ ! -f /tmp/r4_seed14.done ]; then
   echo "seed-14b queue exit=$?"; touch /tmp/r4_seed14.done
 else echo "skip (past cutoff or done)"; fi
 
-# the lineage dir seed 14b trained into = newest run dir
-S14=$(ls -td runs/2026-* 2>/dev/null | head -1 | xargs -rn1 basename)
+# the lineage dir seed 14b trained into = newest run dir that actually
+# finished (has an epoch>=25 checkpoint) — crashed retry attempts leave
+# newer-but-empty dirs behind
+S14=""
+for d in $(ls -td runs/2026-* 2>/dev/null); do
+  if ls -d "$d"/model-epoch-02[5-9].chkpt >/dev/null 2>&1; then
+    S14=$(basename "$d"); break
+  fi
+done
 echo "seed-14b lineage: $S14"
 
 echo "=== 2. SWA + populate for $S14 ($(date -u +%H:%M:%S))"
