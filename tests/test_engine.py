@@ -59,6 +59,7 @@ def test_train_with_augmentation_and_dropout(tmp_path, data):
     assert int(jax.device_get(eng.state["step"])) > 0
 
 
+@pytest.mark.slow
 def test_predict_shapes_and_range(tmp_path, data):
     imgs, _ = data
     eng = Engine(tiny_opts(tmp_path))
@@ -117,6 +118,7 @@ def test_checkpoint_roundtrip_and_resolution(tmp_path, data):
     assert eng2._global_step == int(np.asarray(eng2.state["step"]))
 
 
+@pytest.mark.slow
 def test_light_save_roundtrip(tmp_path, data):
     """Params-only checkpoints restore (momentum reinitialized), SWA-average,
     and resolve exactly like full ones."""

@@ -53,6 +53,7 @@ def test_infer_geometry_from_orbax_metadata(tmp_path):
         "num_layers": 3, "root_size": 8, "dilated_layers": False}
 
 
+@pytest.mark.slow
 def test_restore_mismatch_is_one_clear_error(tmp_path):
     path = _engine(tmp_path, dilated_layers=False).save(0)
     other = _engine(tmp_path, dilated_layers=True)

@@ -108,7 +108,8 @@ class TestParamCounts:
         assert abs(n / 1e6 - approx_millions) < 0.5
 
     @pytest.mark.parametrize("layers,root,dilated", [
-        (2, 4, False), (2, 4, True), (3, 8, False),
+        (2, 4, False), (2, 4, True),
+        pytest.param(3, 8, False, marks=pytest.mark.slow),
     ])
     def test_analytic_matches_actual(self, layers, root, dilated):
         model = unet.UNet(num_layers=layers, root_size=root,
