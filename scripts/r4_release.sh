@@ -94,9 +94,14 @@ if [ -n "$last" ] && [ "$last" -ge 25 ]; then
     --epochs "24,25,26,27,28,29" --dilated 0 >> artifacts/swa_r4.log 2>&1
   echo "SWA $S14 exit=$?"
   MEMBERS=""
+  # odd late epochs + SWA only: halves the populate wall; consecutive
+  # epochs agree 0.975-0.985 with each other (PARITY.md round 3) so the
+  # even epochs add search space, not diversity
   for e in $(ls -d "runs/$S14"/model-epoch-*.chkpt 2>/dev/null \
              | sed 's/.*epoch-0*\([0-9]*\)\.chkpt/\1/' | sort -n); do
-    [ "$e" -ge 14 ] && MEMBERS="$MEMBERS $S14:$e"
+    if [ "$e" -eq 900 ] || { [ "$e" -ge 15 ] && [ $((e % 2)) -eq 1 ]; }; then
+      MEMBERS="$MEMBERS $S14:$e"
+    fi
   done
   bash scripts/populate_cache_members.sh artifacts/ensemble_r4b $MEMBERS
   echo "populate exit=$?"
