@@ -47,7 +47,10 @@ print('probe:', float(jnp.ones((8,128)).sum()), jax.devices())" \
 }
 now() { date -u +%s; }
 CUT_TRAIN=${CUT_TRAIN:-$(date -u -d "today 12:10" +%s)}
-CUT_VERIFY=${CUT_VERIFY:-$(date -u -d "today 13:30" +%s)}
+CUT_VERIFY=${CUT_VERIFY:-$(date -u -d "today 13:42" +%s)}
+# the plain (non-fused) verify is the least valuable stage-4 item — it
+# must not squeeze the commit + fresh-clone proof behind it
+CUT_PLAIN=${CUT_PLAIN:-$(date -u -d "today 13:05" +%s)}
 CUT_BENCH2=${CUT_BENCH2:-$(date -u -d "today 13:50" +%s)}
 
 score_vs_winner() {  # $1 = output dir
@@ -129,7 +132,7 @@ if [ "$(now)" -lt "$CUT_VERIFY" ]; then
   echo "fused verify exit=$?"
   score_vs_winner artifacts/run_verify_r4_fused
   cat artifacts/run_verify_r4_fused/parity_vs_winner.json 2>/dev/null
-  if [ "$(now)" -lt "$CUT_VERIFY" ]; then
+  if [ "$(now)" -lt "$CUT_PLAIN" ]; then
     until probe; do echo "tunnel down; sleep 120"; sleep 120; done
     timeout 1800 python run.py --out artifacts/run_verify_r4 \
       > artifacts/run_verify_r4.log 2>&1
