@@ -240,3 +240,44 @@ def test_npz_int8_quantized_roundtrip(tiny_run):
         tol = float(np.max(np.abs(a))) / 127.0 * 0.5 + 1e-8
         assert np.max(np.abs(np.asarray(back, np.float32) - a)) <= tol
         assert back.dtype == np.asarray(leaf).dtype
+
+
+def test_rematerialize_npz_rebuilds_orbax_member(tiny_run):
+    """rematerialize_npz.py re-hydrates a git-committed npz into
+    runs/<date>/model-epoch-NNN.chkpt so DATE:EPOCH tooling (SWA,
+    ensemble_runs, the release packager) can use a lineage whose Orbax
+    payload was destroyed (three VM resets so far)."""
+    import jax
+
+    from roadseg_tpu.utils.checkpoint import (Checkpointer, export_npz,
+                                              read_geometry)
+    from scripts import rematerialize_npz
+    eng, tmp_path = tiny_run
+    geo = {"num_layers": 2, "root_size": 4, "dilated_layers": False}
+    npz = str(tmp_path / "2020-01-01T00h00m00s-epoch-007.chkpt.npz")
+    export_npz(jax.device_get(
+        {"step": eng.state["step"], "params": eng.state["params"]}),
+        npz, geometry=geo)
+
+    save_path = str(tmp_path / "runs")
+    rc = rematerialize_npz.main([npz, "--save_path", save_path])
+    assert rc == 0
+    out = os.path.join(save_path, "2020-01-01T00h00m00s",
+                       "model-epoch-007.chkpt")
+    assert os.path.isdir(out)
+    assert read_geometry(out) == geo
+
+    # idempotent: a second run is a no-op, not a re-save
+    assert rematerialize_npz.main([npz, "--save_path", save_path]) == 0
+
+    # the re-hydrated member restores to the npz params (fp16 tolerance)
+    orig = jax.device_get(eng.state["params"])
+    template = jax.device_get(eng.state)
+    got = Checkpointer(save_path, "2020-01-01T00h00m00s").restore(
+        template, file=out)["params"]
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(orig)[0]:
+        back = got
+        for k in kp:
+            back = back[k.key]
+        np.testing.assert_allclose(np.asarray(back), np.asarray(leaf),
+                                   rtol=2e-3, atol=2e-4)
