@@ -623,7 +623,8 @@ class Engine:
                 "root_size": int(opts.root_size),
                 "dilated_layers": bool(opts.dilated_layers)}
 
-    def save(self, epoch: int = 0, light: bool = False) -> str:
+    def save(self, epoch: int = 0, light: bool = False,
+             blocking: bool = True) -> Optional[str]:
         """Checkpoint the train state.
 
         ``light=True`` omits the optimizer state (momentum doubles the
@@ -631,13 +632,55 @@ class Engine:
         sweeps, SWA and ensembling only ever need params). Restoring a
         light checkpoint reinitializes momentum — keep full saves for
         the interrupt sentinel and the final epoch so ``--resume``
-        continues exactly."""
+        continues exactly.
+
+        ``blocking=False`` overlaps the save with subsequent work: the
+        state is snapshotted on-device (``jnp.copy`` per leaf — required
+        because the jitted train step *donates* its state argument, so
+        the live buffers are recycled by the next step) and a worker
+        thread performs the host fetch + Orbax write + SHA manifest.
+        The measured epoch boundary on the tunneled v5e is ~40-70 s for
+        the 124 M-param flagship (docs/SCALING.md), almost entirely
+        hidden behind the next epoch's ~46 s of compute. The reference's
+        TF ``Saver.save`` is synchronous (``tf_aerial_images.py:343-349``).
+        At most one async save is in flight: a new ``save``/``restore``
+        joins the previous one first; call :meth:`finish_saves` before
+        exiting to surface worker errors."""
+        self.finish_saves()
         state = (self.state if not light
                  else {k: self.state[k] for k in ("step", "params")})
-        return self._checkpointer.save(jax.device_get(state), epoch,
-                                       geometry=self.model_geometry)
+        if blocking:
+            return self._checkpointer.save(jax.device_get(state), epoch,
+                                           geometry=self.model_geometry)
+        snapshot = jax.tree_util.tree_map(
+            lambda a: jnp.copy(a) if isinstance(a, jax.Array) else a, state)
+
+        def _work():
+            try:
+                self._checkpointer.save(jax.device_get(snapshot), epoch,
+                                        geometry=self.model_geometry)
+            except BaseException as e:  # surfaced by finish_saves()
+                self._save_error = e
+
+        import threading
+        t = threading.Thread(target=_work, name=f"save-epoch-{epoch}")
+        self._save_thread = t
+        t.start()
+        return None
+
+    def finish_saves(self) -> None:
+        """Join any in-flight async ``save`` and re-raise its error."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
+        err = getattr(self, "_save_error", None)
+        if err is not None:
+            self._save_error = None
+            raise RuntimeError("async checkpoint save failed") from err
 
     def restore(self, date=None, epoch=None, file=None):
+        self.finish_saves()
         template = jax.device_get(self.state)
         path = self._checkpointer.resolve(date=date, epoch=epoch, file=file)
         geo = checkpoint.read_geometry(path)

@@ -63,6 +63,11 @@ def main(argv=None):
     p.add_argument("--save_from", type=int, default=0,
                    help="skip checkpoint saves before this epoch (saves "
                         "~1 min/epoch of device_get+write for big models)")
+    p.add_argument("--async_saves", type=lambda s: s != "0", default=False,
+                   help="overlap per-epoch checkpoint writes (host fetch + "
+                        "Orbax + SHA manifest, ~40-70 s each on the "
+                        "tunneled v5e) with the next epoch's compute "
+                        "(Engine.save(blocking=False))")
     p.add_argument("--light_saves", type=lambda s: s != "0", default=True,
                    help="save params-only checkpoints (halves the per-epoch "
                         "device_get+write; sweeps/SWA/ensembling need only "
@@ -135,13 +140,17 @@ def main(argv=None):
         results.append(rec)
         print(json.dumps(rec))
         if epoch >= args.save_from:
-            model.save(epoch, light=args.light_saves
-                       and epoch < args.epochs - 1)
+            # the final epoch's save is always blocking+full so the run
+            # ends with a resume-exact checkpoint on disk
+            final = epoch == args.epochs - 1
+            model.save(epoch, light=args.light_saves and not final,
+                       blocking=not args.async_saves or final)
         os.makedirs(model._checkpointer.experiment_dir, exist_ok=True)
         with open(os.path.join(model._checkpointer.experiment_dir,
                                "val_scores.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    model.finish_saves()  # surface any async-save error before the eval
     # final: 6-way ensemble eval (the Kaggle inference config; the
     # ensemble flag is part of the predict-fn cache key)
     model._options.ensemble_prediction = True

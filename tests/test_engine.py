@@ -359,3 +359,42 @@ def test_class_weight_road_loss_semantics(tmp_path, data):
     _, loss_bg1 = one_step(1.0, gt_override=bg)
     _, loss_bg05 = one_step(0.5, gt_override=bg)
     assert loss_bg05 == pytest.approx(loss_bg1, rel=1e-6)
+
+
+@pytest.mark.slow
+def test_async_save_snapshot_survives_donation(tmp_path, data):
+    """``save(blocking=False)`` must write exactly the state it was given
+    even though the jitted train step DONATES the live state buffers —
+    the snapshot (jnp.copy per leaf) is what protects the in-flight
+    host fetch from the next epoch recycling those buffers."""
+    imgs, gt = data
+    opts = tiny_opts(tmp_path)
+    eng = Engine(opts)
+    eng.prepare_training_data(imgs, gt, rotation_angles=[0])
+    eng.train(imgs, gt)
+    want = jax.device_get(eng.state["params"])
+
+    eng.save(0, light=True, blocking=False)
+    eng.train(imgs, gt)  # donates/overwrites the live buffers meanwhile
+    eng.save(1)          # blocking; joins the async save first
+
+    eng.restore(epoch=0)
+    got = jax.device_get(eng.state["params"])
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 want, got)
+
+
+def test_async_save_error_surfaces_on_join(tmp_path):
+    """A worker-thread save failure must raise at the next
+    ``finish_saves()`` (or the next save/restore), not vanish."""
+    eng = Engine(tiny_opts(tmp_path))
+
+    def boom(*a, **k):
+        raise OSError("disk gone")
+    eng._checkpointer.save = boom
+
+    eng.save(0, blocking=False)
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        eng.finish_saves()
+    # the error is consumed; the engine is usable again
+    eng.finish_saves()
