@@ -87,6 +87,12 @@ class Options:
     grad_accum: int = 1
     # Emit a jax.profiler trace (TensorBoard-loadable) of the first epoch.
     profile: bool = False
+    # Overlap per-epoch checkpoint writes with the next epoch's compute
+    # (Engine.save(blocking=False): on-device state snapshot + a worker
+    # thread for the host fetch/Orbax write/SHA manifest). The measured
+    # boundary is 40-70 s per saved epoch for the 124M flagship over the
+    # tunnel (docs/SCALING.md). The last epoch is always saved blocking.
+    async_saves: bool = False
     # Cross-entropy weight on road pixels (class 1); background stays 1.0.
     # The loss is the weight-normalized mean so the loss scale (and thus
     # the reference lr semantics) is preserved. 1.0 = reference-faithful
@@ -223,6 +229,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Microbatches averaged per optimizer step "
                         "(effective batch = grad_accum*batch_size); 1 = off")
     boolean("profile", d.profile, "Profile the first training epoch")
+    boolean("async_saves", d.async_saves,
+            "Overlap per-epoch checkpoint writes with the next epoch's "
+            "compute (the final epoch is always saved blocking)")
     p.add_argument("--class_weight_road", type=float, default=d.class_weight_road,
                    help="Cross-entropy weight on road pixels (1.0 = "
                         "reference-faithful unweighted; <1 lowers predicted "

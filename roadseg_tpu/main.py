@@ -61,7 +61,8 @@ def run(opts: Options) -> Optional[Engine]:
                 # written; stop the run instead of saving a partial epoch
                 print("training interrupted; stopping")
                 return None
-            model.save(i)
+            model.save(i, blocking=not opts.async_saves
+                       or i == opts.num_epoch - 1)
 
     # -- eval on training data (tf_aerial_images.py:432-445) -----------
     if opts.eval_train:
