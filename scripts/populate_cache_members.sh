@@ -10,6 +10,35 @@ OUT=${1:?usage: populate_cache_members.sh OUTDIR DATE:EPOCH...}
 shift
 MEMBERS=""
 for m in "$@"; do MEMBERS="$MEMBERS --member $m"; done
+# Auto-expand (POPULATE_AUTO_EXPAND=0 disables): the round-4 release
+# pipeline builds its member list under a CUT_POP wall-clock deadline
+# that can lapse while late lineages are still training, collapsing the
+# list to one member. The subset search reads the CACHE, so recompute
+# the intended set here: for each completed lineage (epoch-029 on
+# disk), ensure its SWA (epoch 900) exists, then add odd epochs >=15
+# plus the SWA (PARITY.md round 3: consecutive epochs add search space,
+# not diversity).
+if [ "${POPULATE_AUTO_EXPAND:-1}" = "1" ]; then
+  for d in $(ls -d runs/20* 2>/dev/null); do
+    L=$(basename "$d")
+    ls -d "$d"/model-epoch-029.chkpt >/dev/null 2>&1 || continue
+    if ! ls -d "$d"/model-epoch-900.chkpt >/dev/null 2>&1; then
+      timeout 900 python scripts/average_checkpoints.py --date "$L" \
+        --epochs "24,25,26,27,28,29" --dilated 0 >> "${OUT}_swa.log" 2>&1 \
+        && echo "auto SWA $L"
+    fi
+    for e in $(ls -d "$d"/model-epoch-*.chkpt 2>/dev/null \
+               | sed 's/.*epoch-0*\([0-9]*\)\.chkpt/\1/' | sort -n); do
+      if [ "$e" -eq 900 ] || { [ "$e" -ge 15 ] && [ "$e" -lt 900 ] \
+           && [ $((e % 2)) -eq 1 ]; }; then
+        case " $* " in
+          *" $L:$e "*) ;;
+          *) MEMBERS="$MEMBERS --member $L:$e" ;;
+        esac
+      fi
+    done
+  done
+fi
 LOG="${OUT}_populate.log"
 for attempt in $(seq 1 30); do
   have=$(ls artifacts/mask_cache/*.npy 2>/dev/null | wc -l)
