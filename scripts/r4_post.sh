@@ -1,0 +1,136 @@
+#!/bin/bash
+# Post-pipeline gap filler for r4_release_e.sh.
+#
+# The take-5 pipeline carries wall-clock gates (CUT_PLAIN/CUT_VERIFY)
+# sized for the happy path; populate of ~37 rebuilt cache members can
+# push stages 6/8 past them. This script waits for the pipeline to
+# exit, then runs ONLY the verifies/benches whose outputs are missing,
+# each with its own generous timeout. Safe to re-run; every step is
+# guarded by an existence check. Commits are artifact-only.
+set -u
+cd /root/repo
+echo $$ > /tmp/r4post.pid
+rm -f /tmp/r4post.done
+PID=$(cat /tmp/r4e.pid 2>/dev/null || echo "")
+if [ -n "$PID" ]; then
+  for i in $(seq 1 360); do
+    kill -0 "$PID" 2>/dev/null || break
+    sleep 60
+  done
+  kill -0 "$PID" 2>/dev/null && { echo "pipeline still alive after 6h; abort"; exit 1; }
+fi
+echo "pipeline exited; filling gaps ($(date -u +%H:%M:%S))"
+
+probe() {
+  timeout 180 python -c "
+import jax, jax.numpy as jnp
+print('probe:', float(jnp.ones((8,128)).sum()), jax.devices())" \
+    >> artifacts/probe.log 2>&1
+}
+
+score_vs_winner() {  # $1 = output dir
+  [ -f "$1/submission.csv" ] || return
+  timeout 600 python -c "
+import jax; jax.config.update('jax_platforms','cpu')
+import sys, json; sys.path.insert(0,'.')
+from roadseg_tpu.utils.scoring import compare_submissions
+r = compare_submissions('$1/submission.csv',
+    '/root/reference/submissions/2017-12-17T10h55m14s_multi_rotation'
+    '_stochastic_aug_6_layers_epoch_22_ensemble_dropout_1.0_94_124/'
+    'submission.csv')
+print(json.dumps(r))
+open('$1/parity_vs_winner.json','w').write(json.dumps(r, indent=2) + '\n')"
+}
+
+# A release must exist for any of this to be meaningful.
+[ -f artifacts/release/release.json ] || { echo "no release.json; abort"; exit 1; }
+
+# Re-tune the fusion knobs for the NEW member set (pure CPU over the
+# mask cache; scripts/fusion_sweep.py). If --apply changes fusion.json,
+# any fused verify done with the stale knobs is invalidated and redone.
+FUSION_SHA_BEFORE=$(sha256sum artifacts/release/fusion.json 2>/dev/null | cut -d' ' -f1)
+timeout 900 python scripts/fusion_sweep.py --apply \
+  --out artifacts/fusion_sweep_r4.json > artifacts/fusion_sweep_r4.log 2>&1
+echo "fusion sweep exit=$?"; tail -2 artifacts/fusion_sweep_r4.log
+FUSION_SHA_AFTER=$(sha256sum artifacts/release/fusion.json 2>/dev/null | cut -d' ' -f1)
+if [ "$FUSION_SHA_BEFORE" != "$FUSION_SHA_AFTER" ]; then
+  echo "fusion.json changed; forcing fused re-verify"
+  rm -rf artifacts/run_verify_r4_fused artifacts/run_verify_r4_freshclone
+  # the fresh-clone verify clones THIS repo — the re-tuned knobs must be
+  # committed before the clone or it fuses with the stale spec
+  git add -f artifacts/release/fusion.json
+  git add artifacts/fusion_sweep_r4.json artifacts/fusion_sweep_r4.log 2>/dev/null
+  git commit -q -m "Re-tune fusion knobs for the round-4 member set (CPU sweep --apply)
+
+No-Verification-Needed: artifact-only commit (fusion spec retune from cached masks)" \
+    && echo "fusion retune committed" || echo "fusion commit empty/failed"
+fi
+
+if [ ! -f artifacts/run_verify_r4_fused/parity_vs_winner.json ]; then
+  echo "--- fused front-door verify"
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  timeout 2400 python run.py --fuse --out artifacts/run_verify_r4_fused \
+    > artifacts/run_verify_r4_fused.log 2>&1
+  echo "fused verify exit=$?"
+  score_vs_winner artifacts/run_verify_r4_fused
+fi
+cat artifacts/run_verify_r4_fused/parity_vs_winner.json 2>/dev/null
+
+if [ ! -f artifacts/run_verify_r4/parity_vs_winner.json ]; then
+  echo "--- plain front-door verify"
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  timeout 2400 python run.py --out artifacts/run_verify_r4 \
+    > artifacts/run_verify_r4.log 2>&1
+  echo "plain verify exit=$?"
+  score_vs_winner artifacts/run_verify_r4
+fi
+cat artifacts/run_verify_r4/parity_vs_winner.json 2>/dev/null
+
+if [ ! -f artifacts/run_verify_r4_freshclone/parity_vs_winner.json ]; then
+  echo "--- fresh-clone npz-only verify"
+  rm -rf /tmp/freshclone
+  git clone -q /root/repo /tmp/freshclone
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  (cd /tmp/freshclone && timeout 2400 python run.py --fuse \
+     --out out_fused > run_fused.log 2>&1; echo "fresh-clone fuse exit=$?")
+  mkdir -p artifacts/run_verify_r4_freshclone
+  cp /tmp/freshclone/out_fused/submission.csv \
+     artifacts/run_verify_r4_freshclone/ 2>/dev/null
+  cp /tmp/freshclone/run_fused.log artifacts/run_verify_r4_freshclone/ 2>/dev/null
+  score_vs_winner artifacts/run_verify_r4_freshclone
+fi
+cat artifacts/run_verify_r4_freshclone/parity_vs_winner.json 2>/dev/null
+
+if [ ! -s artifacts/bench_r4_hybrid_deconv.json ]; then
+  echo "--- hybrid_deconv predict bench"
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  BENCH_CONV_IMPL=hybrid_deconv timeout 1500 python bench.py \
+    > artifacts/bench_r4_hybrid_deconv.json 2>&1
+  echo "hybrid_deconv exit=$?"; tail -1 artifacts/bench_r4_hybrid_deconv.json
+fi
+
+if [ ! -s artifacts/bench_train_r4_hybrid_deconv.jsonl ]; then
+  echo "--- hybrid_deconv train bench"
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  timeout 1200 python scripts/bench_train.py --dilated 0 --batch 8 \
+    --variants hybrid_deconv \
+    > artifacts/bench_train_r4_hybrid_deconv.jsonl 2>&1
+  echo "hybrid_deconv train exit=$?"
+  grep -h '^{' artifacts/bench_train_r4_hybrid_deconv.jsonl
+fi
+
+git add artifacts/run_verify_r4_fused artifacts/run_verify_r4 \
+  artifacts/run_verify_r4_freshclone artifacts/bench_r4_hybrid_deconv.json \
+  artifacts/bench_train_r4_hybrid_deconv.jsonl artifacts/r4e.log \
+  artifacts/r4_release_e.log artifacts/npz_verify_int8_vs_orbax.json \
+  artifacts/road_fraction_by_member.json 2>/dev/null
+git commit -q -m "Round-4 release verify + bench artifacts (post-pipeline gap fill)
+
+Front-door (run.py / run.py --fuse), fresh-clone npz-only, and
+hybrid_deconv bench measurements for the committed cross-lineage
+release, run after the main pipeline's wall-clock gates.
+
+No-Verification-Needed: artifact-only commit (measurement logs/JSONs; no source change)" \
+  && echo "post artifacts committed" || echo "post commit empty/failed"
+touch /tmp/r4post.done
+echo "=== r4_post done ($(date -u +%H:%M:%S))"
