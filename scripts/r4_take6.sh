@@ -1,0 +1,238 @@
+#!/bin/bash
+# Round-4 release tail, take 6 — relaunch after the FOURTH VM reset.
+#
+# Postmortem of take 5: the reset killed the pipeline mid-flight again;
+# runs/ and the mask cache are gone, release.json is still the
+# single-lineage round-3 set, and the only surviving weights are the
+# git-committed int8 npz of 02h28m05s epoch 16. Two structural fixes
+# this take:
+#   * a ~2 h budget (the session window), not 5 h: TWO new seeds
+#     (plain + the class_weight_road=0.9 bias arm, VERDICT r3 task 7)
+#     instead of four;
+#   * DURABILITY FIRST: each lineage's epoch-029 is exported to int8
+#     npz and git-committed the moment training finishes ("anchor"),
+#     BEFORE the search/verify stages give a reset another chance.
+#
+# Stages: 0 rehydrate npz -> 1 train+anchor x2 -> 2 int8-vs-orbax
+# verify -> 3 SWA+populate -> 4 road-fraction -> 5 search+release(npz
+# for every member) -> 6 fusion retune -> 7 front-door verifies ->
+# 8 size-guarded release commit -> 9 fresh-clone verify.
+set -u
+cd /root/repo
+START=$(date -u +%s)
+now() { date -u +%s; }
+CUT_TRAIN=$((START + 3600))    # no new seed starts after +60m
+CUT_POP=$((START + 5700))     # populate winds down by +95m
+CUT_VERIFY=$((START + 6900))  # verify gate +115m
+echo "take-6 launch $(date -u +%H:%M:%S); CUT_TRAIN=+60m CUT_POP=+95m CUT_VERIFY=+115m"
+echo $$ > /tmp/r4t6.pid
+
+probe() {
+  timeout 180 python -c "
+import jax, jax.numpy as jnp
+print('probe:', float(jnp.ones((8,128)).sum()), jax.devices())" \
+    >> artifacts/probe.log 2>&1
+}
+
+gitc() {  # commit with retry around possible index-lock contention
+  for i in 1 2 3; do
+    git commit -q -m "$1" && return 0
+    sleep 7
+  done
+  return 1
+}
+
+score_vs_winner() {  # $1 = output dir
+  [ -f "$1/submission.csv" ] || return
+  timeout 600 python -c "
+import jax; jax.config.update('jax_platforms','cpu')
+import sys, json; sys.path.insert(0,'.')
+from roadseg_tpu.utils.scoring import compare_submissions
+r = compare_submissions('$1/submission.csv',
+    '/root/reference/submissions/2017-12-17T10h55m14s_multi_rotation'
+    '_stochastic_aug_6_layers_epoch_22_ensemble_dropout_1.0_94_124/'
+    'submission.csv')
+print(json.dumps(r))
+open('$1/parity_vs_winner.json','w').write(json.dumps(r, indent=2) + '\n')"
+}
+
+anchor() {  # $1 = lineage dir name; export+commit epoch-029 npz
+  local L="$1"
+  [ -d "runs/$L/model-epoch-029.chkpt" ] || { echo "no epoch-029 in $L"; return; }
+  mkdir -p artifacts/anchors
+  timeout 900 python scripts/export_npz.py \
+    --ckpt "runs/$L/model-epoch-029.chkpt" \
+    --out "artifacts/anchors/$L-epoch-029.chkpt.npz" --dtype int8 \
+    >> artifacts/r4t6.log 2>&1
+  echo "anchor export $L exit=$?"
+  if [ -s "artifacts/anchors/$L-epoch-029.chkpt.npz" ]; then
+    git add -f "artifacts/anchors/$L-epoch-029.chkpt.npz"
+    gitc "Anchor lineage $L: git-committed int8 npz of epoch 29
+
+Durability-first recovery anchor (four VM resets have destroyed every
+gitignored Orbax payload; git npz is the only surviving channel). The
+release packager may supersede this with its own member export.
+
+No-Verification-Needed: artifact-only commit (weight payload)" \
+      && echo "anchor $L committed" || echo "anchor $L commit failed"
+  fi
+}
+
+echo "=== 0. re-hydrate surviving npz lineage ($(date -u +%H:%M:%S))"
+timeout 600 python scripts/rematerialize_npz.py \
+  artifacts/release/2026-08-19T02h28m05s-epoch-016.chkpt.npz \
+  >> artifacts/r4t6.log 2>&1
+echo "rematerialize exit=$?"
+
+echo "=== 1. retrain cross-lineage seeds ($(date -u +%H:%M:%S))"
+train_one() {  # $1 = seed, $2 = extra train args
+  if [ "$(now)" -ge "$CUT_TRAIN" ]; then
+    echo "skip seed $1 (past CUT_TRAIN)"; return
+  fi
+  local before after
+  before=$(ls runs 2>/dev/null)
+  WAIT_DEADLINE=60 TRAIN_LOG_PREFIX=train_r4t6_seed TRAIN_EXTRA_ARGS="$2" \
+    bash scripts/train_seeds_queue.sh "$1" >> artifacts/trainq_r4t6.log 2>&1
+  echo "seed $1 queue exit=$? $(date -u +%H:%M:%S)"
+  after=$(comm -13 <(echo "$before") <(ls runs) | grep 2026- | head -1)
+  [ -n "$after" ] && anchor "$after"
+}
+train_one 41 ""
+train_one 43 "--class_weight_road 0.9"
+
+LINEAGES=""
+for d in $(ls -td runs/2026-* 2>/dev/null); do
+  if ls -d "$d"/model-epoch-029.chkpt >/dev/null 2>&1; then
+    LINEAGES="$LINEAGES $(basename "$d")"
+  fi
+done
+echo "completed lineages:$LINEAGES"
+
+echo "=== 2. int8-vs-orbax submission verify ($(date -u +%H:%M:%S))"
+NEWEST=$(echo $LINEAGES | tr ' ' '\n' | sort | tail -1)
+if [ -n "$NEWEST" ] && [ ! -f artifacts/npz_verify_int8_vs_orbax.json ]; then
+  ORB="runs/$NEWEST/model-epoch-029.chkpt"
+  NPZ="artifacts/anchors/$NEWEST-epoch-029.chkpt.npz"
+  [ -s "$NPZ" ] || { NPZ=/tmp/int8_verify.npz
+    timeout 900 python scripts/export_npz.py --ckpt "$ORB" --out "$NPZ" \
+      --dtype int8 >> artifacts/npz_verify.log 2>&1; }
+  for side in npz orbax; do
+    src=$NPZ; [ "$side" = orbax ] && src=$ORB
+    for attempt in 1 2 3; do
+      until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+      timeout 1800 python scripts/make_submission.py --ckpt "$src" \
+        --out "artifacts/npz_verify_$side" >> artifacts/npz_verify.log 2>&1 \
+        && break
+      echo "$side submission attempt $attempt failed $(date -u +%H:%M:%S)"
+      sleep 60
+    done
+  done
+  python - <<'EOF' >> artifacts/npz_verify.log 2>&1
+import csv, json
+def labels(p):
+    with open(p) as f:
+        return {r["id"]: r["prediction"] for r in csv.DictReader(f)}
+a = labels("artifacts/npz_verify_npz/submission.csv")
+b = labels("artifacts/npz_verify_orbax/submission.csv")
+agree = sum(a[k] == b[k] for k in a) / len(a)
+res = {"int8_vs_orbax_patch_agreement": round(agree, 5), "patches": len(a)}
+print(json.dumps(res))
+json.dump(res, open("artifacts/npz_verify_int8_vs_orbax.json", "w"))
+EOF
+  echo "npz verify: $(cat artifacts/npz_verify_int8_vs_orbax.json 2>/dev/null)"
+else echo "skip int8 verify (no lineage or already done)"; fi
+
+echo "=== 3. SWA + populate ($(date -u +%H:%M:%S))"
+if [ "$(now)" -lt "$CUT_POP" ]; then
+  # auto-expand adds SWA + odd epochs >=15 for every completed lineage;
+  # the rehydrated survivor only has epoch 16, so pass it explicitly.
+  bash scripts/populate_cache_members.sh artifacts/ensemble_r4t6 \
+    "2026-08-19T02h28m05s:16"
+  echo "populate exit=$?"
+else echo "ALARM: past CUT_POP, skipping populate"; fi
+
+echo "=== 4. road-fraction instrument ($(date -u +%H:%M:%S))"
+timeout 600 python scripts/road_fraction_by_member.py \
+  >> artifacts/road_fraction.log 2>&1
+echo "road_fraction exit=$?"
+
+echo "=== 5. search -> release with npz for every member ($(date -u +%H:%M:%S))"
+NPZ_DTYPE=$(python -c "
+import json
+try:
+    r = json.load(open('artifacts/npz_verify_int8_vs_orbax.json'))
+    print('int8' if r['int8_vs_orbax_patch_agreement'] >= 0.999 else 'float16')
+except Exception:
+    print('float16')")
+echo "npz dtype: $NPZ_DTYPE"
+timeout 3600 python scripts/finalize_parity.py --max_k 16 \
+  --out artifacts/ensemble_r4_final --npz 99 --npz_dtype "$NPZ_DTYPE" \
+  > artifacts/finalize_parity_r4.log 2>&1
+echo "finalize exit=$?"; tail -3 artifacts/finalize_parity_r4.log
+
+echo "=== 6. fusion retune (CPU) ($(date -u +%H:%M:%S))"
+timeout 900 python scripts/fusion_sweep.py --apply \
+  --out artifacts/fusion_sweep_r4.json > artifacts/fusion_sweep_r4.log 2>&1
+echo "fusion sweep exit=$?"; tail -2 artifacts/fusion_sweep_r4.log
+
+echo "=== 7. run.py front-door verifies ($(date -u +%H:%M:%S))"
+if [ "$(now)" -lt "$CUT_VERIFY" ]; then
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  timeout 1800 python run.py --fuse --out artifacts/run_verify_r4_fused \
+    > artifacts/run_verify_r4_fused.log 2>&1
+  echo "fused verify exit=$?"
+  score_vs_winner artifacts/run_verify_r4_fused
+  cat artifacts/run_verify_r4_fused/parity_vs_winner.json 2>/dev/null
+  until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+  timeout 1800 python run.py --out artifacts/run_verify_r4 \
+    > artifacts/run_verify_r4.log 2>&1
+  echo "plain verify exit=$?"
+  score_vs_winner artifacts/run_verify_r4
+  cat artifacts/run_verify_r4/parity_vs_winner.json 2>/dev/null
+else echo "skip (past CUT_VERIFY)"; fi
+
+echo "=== 8. commit the durable release (size-guarded) ($(date -u +%H:%M:%S))"
+REL_BYTES=$(du -sb artifacts/release/ | cut -f1)
+if [ "$REL_BYTES" -lt 2000000000 ]; then
+  git add -f artifacts/release/release.json artifacts/release/fusion.json \
+    artifacts/release/*.npz 2>/dev/null
+  git add artifacts/ensemble_search.json artifacts/finalize_parity_r4.log \
+    artifacts/ensemble_r4_final artifacts/run_verify_r4_fused \
+    artifacts/run_verify_r4 artifacts/npz_verify_int8_vs_orbax.json \
+    artifacts/road_fraction_by_member.json artifacts/fusion_sweep_r4.json \
+    artifacts/r4t6.log 2>/dev/null
+  gitc "Round-4 release: cross-lineage ensemble with git-committed npz weights for every member
+
+Packaged by scripts/r4_take6.sh stage 5 (search over the rebuilt
+round-4 mask cache after the fourth VM reset; finalize_parity.py
+parsimonious-k pick). Weight payloads committed as npz so a fresh clone
+reproduces the submission with no training and no external downloads
+(the reference distributes weights by download+sha256, run.py:46-119;
+git is this repo's only durable channel).
+
+No-Verification-Needed: artifact-only commit (weights + measurement JSONs)" \
+    && echo "release committed" || echo "release commit FAILED (or empty)"
+else
+  echo "SKIP commit: release dir ${REL_BYTES} bytes exceeds 2 GB guard"
+fi
+
+echo "=== 9. fresh-clone npz-only verify ($(date -u +%H:%M:%S))"
+rm -rf /tmp/freshclone
+git clone -q /root/repo /tmp/freshclone
+until probe; do echo "tunnel down; sleep 120"; sleep 120; done
+(cd /tmp/freshclone && timeout 1800 python run.py --fuse \
+   --out out_fused > run_fused.log 2>&1; echo "fresh-clone fuse exit=$?")
+mkdir -p artifacts/run_verify_r4_freshclone
+cp /tmp/freshclone/out_fused/submission.csv \
+   artifacts/run_verify_r4_freshclone/ 2>/dev/null
+cp /tmp/freshclone/run_fused.log artifacts/run_verify_r4_freshclone/ 2>/dev/null
+score_vs_winner artifacts/run_verify_r4_freshclone
+cat artifacts/run_verify_r4_freshclone/parity_vs_winner.json 2>/dev/null
+git add artifacts/run_verify_r4_freshclone 2>/dev/null
+gitc "Fresh-clone npz-only front-door verify (round-4 release)
+
+No-Verification-Needed: artifact-only commit (verify logs/parity JSON)" \
+  || echo "fresh-clone commit empty/failed"
+
+touch /tmp/r4t6.done
+echo "=== r4_take6 done ($(date -u +%H:%M:%S))"
