@@ -79,10 +79,14 @@ No-Verification-Needed: artifact-only commit (weight payload)" \
 }
 
 echo "=== 0. re-hydrate surviving npz lineage ($(date -u +%H:%M:%S))"
-timeout 600 python scripts/rematerialize_npz.py \
-  artifacts/release/2026-08-19T02h28m05s-epoch-016.chkpt.npz \
-  >> artifacts/r4t6.log 2>&1
-echo "rematerialize exit=$?"
+if [ -d runs/2026-08-19T02h28m05s/model-epoch-016.chkpt ]; then
+  echo "rematerialize skipped (already hydrated)"
+else
+  timeout 600 python scripts/rematerialize_npz.py \
+    artifacts/release/2026-08-19T02h28m05s-epoch-016.chkpt.npz \
+    >> artifacts/r4t6.log 2>&1
+  echo "rematerialize exit=$?"
+fi
 
 echo "=== 1. retrain cross-lineage seeds ($(date -u +%H:%M:%S))"
 train_one() {  # $1 = seed, $2 = extra train args
@@ -97,8 +101,11 @@ train_one() {  # $1 = seed, $2 = extra train args
   after=$(comm -13 <(echo "$before") <(ls runs) | grep 2026- | head -1)
   [ -n "$after" ] && anchor "$after"
 }
-train_one 41 ""
-train_one 43 "--class_weight_road 0.9"
+# --async_saves hides the ~60-70 s tunnel epoch boundary behind the
+# next epoch's compute (Engine.save(blocking=False)); r3b seeds took
+# 47-55 min wall with sync saves vs ~30 min of pure step compute.
+train_one 41 "--async_saves 1"
+train_one 43 "--class_weight_road 0.9 --async_saves 1"
 
 LINEAGES=""
 for d in $(ls -td runs/2026-* 2>/dev/null); do
