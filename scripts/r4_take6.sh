@@ -19,12 +19,7 @@
 # 8 size-guarded release commit -> 9 fresh-clone verify.
 set -u
 cd /root/repo
-START=$(date -u +%s)
 now() { date -u +%s; }
-CUT_TRAIN=$((START + 3600))    # no new seed starts after +60m
-CUT_POP=$((START + 5700))     # populate winds down by +95m
-CUT_VERIFY=$((START + 6900))  # verify gate +115m
-echo "take-6 launch $(date -u +%H:%M:%S); CUT_TRAIN=+60m CUT_POP=+95m CUT_VERIFY=+115m"
 echo $$ > /tmp/r4t6.pid
 
 probe() {
@@ -33,6 +28,18 @@ import jax, jax.numpy as jnp
 print('probe:', float(jnp.ones((8,128)).sum()), jax.devices())" \
     >> artifacts/probe.log 2>&1
 }
+
+# The budget clock starts when the tunnel first answers, not at launch:
+# the axon tunnel goes down for unbounded stretches (four observed this
+# round) and hangs device init with no error; absolute-from-launch
+# cutoffs would burn the whole training budget on an outage.
+echo "take-6 launched $(date -u +%H:%M:%S); waiting for the tunnel..."
+until probe; do echo "tunnel down; sleep 120 $(date -u +%H:%M:%S)"; sleep 120; done
+START=$(now)
+CUT_TRAIN=$((START + 3600))    # no new seed starts after +60m of chip time
+CUT_POP=$((START + 5700))     # populate winds down by +95m
+CUT_VERIFY=$((START + 6900))  # verify gate +115m
+echo "tunnel up $(date -u +%H:%M:%S); CUT_TRAIN=+60m CUT_POP=+95m CUT_VERIFY=+115m"
 
 gitc() {  # commit with retry around possible index-lock contention
   for i in 1 2 3; do
