@@ -77,10 +77,13 @@ def main():
     # run.py's dilated parity config as a secondary row.
     geometry = dict(num_layers=6, root_size=64, dilated_layers=dilated)
     release_ckpt = None
+    # the dilated parity row restores the packaged dilated release
+    # (artifacts/release_dilated, run.py --dilated 1's source) so both
+    # bench rows measure trained, shipped weights
     release_meta_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "artifacts", "release", "release.json")
-    if not dilated and os.path.exists(release_meta_path):
+        os.path.dirname(os.path.abspath(__file__)), "artifacts",
+        "release_dilated" if dilated else "release", "release.json")
+    if os.path.exists(release_meta_path):
         with open(release_meta_path) as f:
             release_meta = json.load(f)
         geometry.update(release_meta.get("model", {}))
@@ -113,6 +116,7 @@ def main():
     # Throughput doesn't depend on weight values, but "weights": "trained"
     # is part of the bench's credibility (VERDICT round 3, task 2).
     weights = "random"
+    restored_name, restored_sha = None, None
     try:
         from roadseg_tpu.utils import checkpoint as ckpt_lib
         match = release_ckpt
@@ -131,6 +135,15 @@ def main():
         if match:
             eng.restore(file=os.path.abspath(match))
             weights = "trained"
+            # Name the exact weights measured (member + npz sha) so a
+            # bench number can always be tied to a release take — round 4
+            # benched a member the final release no longer contained and
+            # nothing recorded the drift (VERDICT round 4, weak #6).
+            restored_name = os.path.basename(match)
+            if os.path.isfile(match):
+                import hashlib
+                with open(match, "rb") as f:
+                    restored_sha = hashlib.sha256(f.read()).hexdigest()
     except Exception as e:
         print(f"(bench) checkpoint restore skipped: {e}")
 
@@ -161,6 +174,8 @@ def main():
         "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC,
                              2),
         "weights": weights,
+        "restored": restored_name,
+        "restored_sha256": restored_sha,
         "mode": "full_image" if full_image else "sliding_window",
         "config": ("dilated" if geometry["dilated_layers"]
                    else "release (non-dilated winner)"),

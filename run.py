@@ -79,6 +79,10 @@ TRAIN_CONFIG = dict(
 
 RELEASE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "artifacts", "release")
+# The reference run.py pins the *dilated* parity config (run.py:121-137);
+# its weights are packaged separately so `--dilated 1` works from a fresh
+# clone without a runs/ directory (VERDICT round 4, missing #3).
+RELEASE_DIR_DILATED = RELEASE_DIR + "_dilated"
 
 
 def newest_checkpoint(save_path: str, geometry=None):
@@ -100,7 +104,7 @@ def newest_checkpoint(save_path: str, geometry=None):
     return None
 
 
-def release_checkpoint():
+def release_checkpoint(release_dir=None):
     """The packaged release model(s) (scripts/make_release.py), verified
     against their SHA-256 manifests — the reference's download-and-verify
     flow (``run.py:46-119``) without the download. Returns
@@ -108,7 +112,9 @@ def release_checkpoint():
     release (metadata "members") yields several paths; ``main`` averages
     their predicted probability masks (PARITY.md round 3: independent
     seeds' mask average beats any single run)."""
-    meta_path = os.path.join(RELEASE_DIR, "release.json")
+    if release_dir is None:
+        release_dir = RELEASE_DIR  # module global: tests monkeypatch it
+    meta_path = os.path.join(release_dir, "release.json")
     if not os.path.exists(meta_path):
         return None, None
     import hashlib
@@ -120,7 +126,7 @@ def release_checkpoint():
     members = meta.get("members") or [meta]
     ckpts = []
     for m in members:
-        ckpt = os.path.join(RELEASE_DIR, m["checkpoint"])
+        ckpt = os.path.join(release_dir, m["checkpoint"])
         if os.path.isdir(ckpt):
             if verify_manifest(ckpt) is False:
                 # non-fatal, like the reference's sha256 check
@@ -132,7 +138,7 @@ def release_checkpoint():
             continue
         # the Orbax payload is gitignored; a git-committed fp16 npz of the
         # same weights (make_release.py --npz) survives machine resets
-        npz = os.path.join(RELEASE_DIR,
+        npz = os.path.join(release_dir,
                            m.get("npz", m["checkpoint"] + ".npz"))
         if os.path.exists(npz):
             if m.get("npz_sha256"):
@@ -246,8 +252,22 @@ def main(argv=None):
     else:
         from roadseg_tpu.utils import checkpoint as ckpt_lib
         ckpts, meta = ([args.model] if args.model else None), None
-        if ckpts is None and args.dilated is None:
-            ckpts, meta = release_checkpoint()
+        if ckpts is None:
+            # `--dilated 1` restores the packaged dilated release (the
+            # reference run.py's pinned parity config); default/`--dilated
+            # 0` restore the main (non-dilated winner) release. A release
+            # whose geometry contradicts the explicit --dilated request is
+            # skipped rather than silently substituted.
+            rel_dir = RELEASE_DIR_DILATED if args.dilated else RELEASE_DIR
+            ckpts, meta = release_checkpoint(rel_dir)
+            if (meta is not None and args.dilated is not None
+                    and bool(meta.get("model", {}).get("dilated_layers"))
+                    != bool(args.dilated)):
+                print(f"release in {rel_dir} is "
+                      f"{'' if meta['model'].get('dilated_layers') else 'non-'}"
+                      f"dilated; ignoring it for --dilated "
+                      f"{int(args.dilated)}", file=sys.stderr)
+                ckpts, meta = None, None
             if meta is not None:
                 # the release decides the model geometry. A partial release
                 # (some members missing on disk) may lead with a non-primary

@@ -46,6 +46,12 @@ def main(argv=None):
                         "only durable distribution channel)")
     p.add_argument("--npz_dtype", default="float16",
                    choices=("float16", "int8"))
+    p.add_argument("--allow_regression", action="store_true",
+                   help="package a release even if it scores below the "
+                        "currently shipped one (default: refuse — the "
+                        "round-3/4 silent-degradation mode, where a "
+                        "rebuild from a thinner member pool quietly "
+                        "shipped a worse model twice)")
     args = p.parse_args(argv)
 
     import ensemble_runs
@@ -95,6 +101,24 @@ def main(argv=None):
     if abs(parity["agreement"] - best["agreement"]) > 5e-4:
         print(f"WARNING: pipeline agreement {parity['agreement']:.5f} != "
               f"search score {best['agreement']:.5f}")
+
+    # Regression gate (VERDICT round 4, weak #1): never silently replace
+    # a better release with a worse one. The shipped score lives in
+    # artifacts/release/release.json ("scores"."agreement").
+    if not args.skip_release:
+        rel_meta = os.path.join("artifacts", "release", "release.json")
+        if os.path.exists(rel_meta):
+            with open(rel_meta) as f:
+                shipped = json.load(f).get("scores", {}).get("agreement")
+            if (shipped is not None
+                    and parity["agreement"] < shipped - 1e-9):
+                msg = (f"REGRESSION: new release would score "
+                       f"{parity['agreement']:.5f} < shipped {shipped:.5f}")
+                if not args.allow_regression:
+                    print(msg + " — refusing to package "
+                          "(--allow_regression overrides)", file=sys.stderr)
+                    return 2
+                print(msg + " — packaging anyway (--allow_regression)")
 
     if not args.skip_release:
         import make_release

@@ -68,10 +68,12 @@ def test_predict_shapes_and_range(tmp_path, data):
     assert masks.min() >= 0.0 and masks.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_predict_ensemble_symmetry(tmp_path, data):
     """TTA-averaged prediction of a flipped image equals the flipped
     prediction of the original (the 6-variant group is closed under
-    flips), up to float tolerance."""
+    flips), up to float tolerance. Slow tier: two full TTA compiles
+    (~20 s on the 8-device CPU mesh) for one invariant."""
     imgs, _ = data
     eng = Engine(tiny_opts(tmp_path, ensemble_prediction=True))
     m1 = np.asarray(eng.predict(imgs[:1]))

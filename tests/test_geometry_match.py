@@ -63,6 +63,7 @@ def test_restore_mismatch_is_one_clear_error(tmp_path):
     _engine(tmp_path, dilated_layers=False).restore(file=path)
 
 
+@pytest.mark.slow
 def test_manifest_ignores_backfilled_sidecar(tmp_path):
     """Adding geometry.json to an old checkpoint must not break its
     SHA256SUMS verification (sidecars are backfilled into pre-existing

@@ -221,6 +221,60 @@ def test_run_main_fuse_reproduces_label_vote(release_and_data, monkeypatch):
     assert got_lab.shape == (2, pps, pps)
 
 
+def test_run_main_dilated_release(release_and_data, monkeypatch):
+    """``--dilated 1`` restores the packaged dilated release
+    (artifacts/release_dilated — the reference run.py's pinned parity
+    config, run.py:121-137) on a fresh clone with no runs/; a release
+    whose geometry contradicts the explicit flag is skipped, not
+    silently substituted."""
+    eng, rel, data, tmp_path = release_and_data
+    import run as run_script
+
+    tiny_d = dict(TINY, dilated_layers=True)
+    opts = Options(**tiny_d, seed=13, save_path=str(tmp_path / "runs_d"),
+                   logdir=str(tmp_path / "logs"))
+    eng_d = Engine(opts)
+    eng_d.save(epoch=7)
+    from scripts import make_release
+    rel_d = tmp_path / "release_dilated"
+    rc = make_release.main([
+        "--save_path", str(tmp_path / "runs_d"),
+        "--member", f"{eng_d.experiment_name}:7",
+        "--out", str(rel_d)])
+    assert rc == 0
+    assert json.loads(
+        (rel_d / "release.json").read_text())["model"]["dilated_layers"]
+
+    monkeypatch.setattr(run_script, "RELEASE_DIR", str(rel))
+    monkeypatch.setattr(run_script, "RELEASE_DIR_DILATED", str(rel_d))
+    monkeypatch.setattr(run_script, "SUBMISSION_CONFIG", dict(TINY))
+    out = tmp_path / "out_dilated"
+    empty = tmp_path / "no_runs"  # fresh clone: no runs/ to fall back to
+    rc = run_script.main(["--data", str(data), "--out", str(out),
+                          "--dilated", "1", "--save_path", str(empty)])
+    assert rc == 0
+    # oracle: the dilated member's own prediction, quantized
+    imgs = images_io.load(str(data / "test"))
+    meta = json.loads((rel_d / "release.json").read_text())
+    eng_d.restore(file=str(rel_d / meta["members"][0]["checkpoint"]))
+    masks = np.asarray(eng_d.predict_batchwise(imgs, 2), np.float32)
+    want = np.asarray(geometry.quantize_mask(
+        masks, threshold=FOREGROUND_THRESHOLD, patch_size=IMG_PATCH_SIZE))
+    images_io.save_submission_csv(want, str(tmp_path / "oracle_dilated"),
+                                  IMG_PATCH_SIZE)
+    assert (out / "submission.csv").read_text() == \
+        (tmp_path / "oracle_dilated" / "submission.csv").read_text()
+
+    # a NON-dilated release in the dilated slot contradicts --dilated 1:
+    # refused (no silent substitution), and with no runs/ there is no
+    # fallback checkpoint either
+    monkeypatch.setattr(run_script, "RELEASE_DIR_DILATED", str(rel))
+    rc = run_script.main(["--data", str(data),
+                          "--out", str(tmp_path / "out_bad"),
+                          "--dilated", "1", "--save_path", str(empty)])
+    assert rc == 1
+
+
 def test_scoring_label_roundtrip(tmp_path):
     """labels -> block mask -> CSV -> labels is the identity, and
     mask_labels inverts labels_to_mask on binary input (pins the
