@@ -59,8 +59,24 @@ def main(argv=None):
     p.add_argument("--thresholds",
                    default="0.40,0.44,0.48,0.50,0.52,0.56,0.60")
     p.add_argument("--apply", action="store_true",
-                   help="write the best (member_weight, vote_threshold) "
+                   help="write the selected (member_weight, vote_threshold) "
                         "back into fusion.json")
+    p.add_argument("--select", default="agreement",
+                   choices=("agreement", "fraction"),
+                   help="how --apply picks the grid point: 'agreement' "
+                        "maximizes agreement with --winner (oracle); "
+                        "'fraction' picks the point whose fused road "
+                        "fraction is closest to --target_frac WITHOUT "
+                        "scoring against the winner — the held-out "
+                        "calibration rule (PARITY.md round 4: the "
+                        "reference family's late models hold a stable "
+                        "0.2495-0.2505 fraction; ours run ~0.26 high)")
+    p.add_argument("--target_frac", type=float, default=0.2501,
+                   help="target road fraction for --select fraction "
+                        "(default 0.2501 = the mean fraction of the "
+                        "reference's own NON-winner late 6-layer "
+                        "submissions, PARITY.md round-2 table — no "
+                        "winner-CSV statistic involved)")
     p.add_argument("--out", default="artifacts/fusion_sweep_r4.json")
     args = p.parse_args(argv)
 
@@ -111,18 +127,33 @@ def main(argv=None):
                     if r["member_weight"] == packaged["member_weight"]
                     and r["vote_threshold"] == packaged["vote_threshold"]),
                    None)
+    # held-out selection: closest fused road fraction to the target,
+    # ties broken toward the packaged member_weight (the fraction rule
+    # constrains only the threshold axis; many (mw, t) points share a
+    # fused labeling). Its agreement is reported for validation but
+    # never used for selection.
+    frac_pick = min(rows, key=lambda r: (abs(r["road_frac"]
+                                             - args.target_frac),
+                                         abs(r["member_weight"] - 1.25)))
+    selected = rows[0] if args.select == "agreement" else frac_pick
     result = {"members": len(member_labels), "csv_votes": len(csv_votes),
               "csv_weight_total": csv_w, "packaged": current,
-              "best": rows[0], "top8": rows[:8]}
+              "best": rows[0],
+              "fraction_matched": {**frac_pick,
+                                   "target_frac": args.target_frac,
+                                   "regret_vs_oracle": round(
+                                       rows[0]["agreement"]
+                                       - frac_pick["agreement"], 5)},
+              "selected_by": args.select, "top8": rows[:8]}
     print(json.dumps(result, indent=2))
     with open(os.path.join(REPO, args.out), "w") as f:
         json.dump({**result, "grid": rows}, f, indent=2)
 
     if args.apply:
-        fusion["member_weight"] = rows[0]["member_weight"]
-        fusion["vote_threshold"] = rows[0]["vote_threshold"]
-        note = (f"member_weight/vote_threshold re-swept for this member "
-                f"set (fusion_sweep.py: {rows[0]['agreement']:.5f} vs "
+        fusion["member_weight"] = selected["member_weight"]
+        fusion["vote_threshold"] = selected["vote_threshold"]
+        note = (f"member_weight/vote_threshold selected by {args.select} "
+                f"(fusion_sweep.py: {selected['agreement']:.5f} vs "
                 f"packaged {current['agreement'] if current else '?'})")
         fusion["notes"] = fusion.get("notes", "") + " | " + note
         with open(args.fusion, "w") as f:
