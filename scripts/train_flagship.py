@@ -102,7 +102,10 @@ def main(argv=None):
         save_path=args.save_path,
         logdir=os.path.join(args.save_path, "logs"),
     )
-    model = Engine(opts)
+    # a resumed run continues in the SAME experiment dir so the lineage's
+    # epochs stay together (round-5 incident: a resumed attempt wrote its
+    # epochs into a fresh timestamp dir, orphaning them from the lineage)
+    model = Engine(opts, experiment_name=args.resume or None)
     print(f"model: {model.num_params:,} params, input {model.input_size}")
     if args.resume:
         model.restore(date=args.resume, epoch=args.resume_epoch)
@@ -139,6 +142,18 @@ def main(argv=None):
                **{k: round(v, 4) for k, v in scores.items()}}
         results.append(rec)
         print(json.dumps(rec))
+        # Divergence guard (round-5 incident): a resume right after an
+        # axon tunnel flap produced NaN loss from the very first step —
+        # the restored checkpoint was verified clean, so the corruption
+        # was device-state, not weights. A collapsed model (zero road
+        # recall) must abort with a distinct exit code BEFORE saving, so
+        # the retry queue re-resumes from the last good epoch instead of
+        # committing five junk epochs to the lineage.
+        if rec["f1_score"] == 0.0 and (epoch > 0 or args.resume):
+            print(f"DIVERGED at epoch {epoch} (f1 0.0, recall "
+                  f"{rec['recall']}): aborting without saving; resume "
+                  f"from the last good checkpoint", file=sys.stderr)
+            return 7
         if epoch >= args.save_from:
             # the final epoch's save is always blocking+full so the run
             # ends with a resume-exact checkpoint on disk
