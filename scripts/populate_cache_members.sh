@@ -21,11 +21,27 @@ for m in "$@"; do MEMBERS="$MEMBERS --member $m"; done
 if [ "${POPULATE_AUTO_EXPAND:-1}" = "1" ]; then
   for d in $(ls -d runs/20* 2>/dev/null); do
     L=$(basename "$d")
-    ls -d "$d"/model-epoch-029.chkpt >/dev/null 2>&1 || continue
+    # a lineage qualifies once it has reached the selection band
+    # (epoch >= 19); round 5: a tunnel-flap divergence can leave a
+    # lineage topping out below 029 yet still holding good members
+    ls -d "$d"/model-epoch-019.chkpt >/dev/null 2>&1 || continue
     if ! ls -d "$d"/model-epoch-900.chkpt >/dev/null 2>&1; then
+      # read the lineage's own architecture from its geometry sidecar
+      # (round 5 adds a dilated lineage; --dilated 0 was wrong for it)
+      DIL=$(python -c "
+import json, sys
+try:
+    g = json.load(open('$d/model-epoch-029.chkpt/geometry.json'))
+    print(1 if g.get('dilated_layers') else 0)
+except Exception:
+    print(0)")
+      # SWA averages the last six epochs that exist on disk
+      EPS=$(ls -d "$d"/model-epoch-0*.chkpt 2>/dev/null \
+            | sed 's/.*epoch-0*\([0-9]*\)\.chkpt/\1/' | sort -n \
+            | tail -6 | paste -sd,)
       timeout 900 python scripts/average_checkpoints.py --date "$L" \
-        --epochs "24,25,26,27,28,29" --dilated 0 >> "${OUT}_swa.log" 2>&1 \
-        && echo "auto SWA $L"
+        --epochs "$EPS" --dilated "$DIL" >> "${OUT}_swa.log" 2>&1 \
+        && echo "auto SWA $L (dilated=$DIL epochs=$EPS)"
     fi
     for e in $(ls -d "$d"/model-epoch-*.chkpt 2>/dev/null \
                | sed 's/.*epoch-0*\([0-9]*\)\.chkpt/\1/' | sort -n); do
