@@ -29,6 +29,39 @@ from roadseg_tpu.utils import images_io
 from roadseg_tpu.utils.summary import patch_scores
 
 
+def _start_stall_watchdog(model, timeout_s=None):
+    """Self-kill on step-progress stall.
+
+    The axon tunnel, when it wedges, hangs device calls forever with no
+    RPC error (three wedges in 90 min on 2026-08-20 alone, one of which
+    silently ate 5 epochs). The retry queue recovers a DEAD attempt fine
+    — so the cleanest watchdog is in-process: a daemon thread watches
+    ``Engine._global_step`` and hard-exits (code 8) when no step lands
+    for ``timeout_s``. Worst legitimate no-step gaps are the first jit
+    compile and the epoch boundary (eval + checkpoint, ~3-4 min on the
+    tunnel), both well under the default 8 min."""
+    import threading
+
+    timeout_s = timeout_s or int(os.environ.get("TRAIN_STALL_TIMEOUT_S",
+                                                "480"))
+
+    def watch():
+        last_step, last_t = -1, time.time()
+        while True:
+            time.sleep(30)
+            step = model._global_step
+            if step != last_step:
+                last_step, last_t = step, time.time()
+            elif time.time() - last_t > timeout_s:
+                print(f"STALLED: no step progress for {timeout_s}s at "
+                      f"step {step}; exiting 8 for the retry queue",
+                      file=sys.stderr, flush=True)
+                os._exit(8)
+
+    threading.Thread(target=watch, name="stall-watchdog",
+                     daemon=True).start()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     # defaults = the validated fast recipe (PARITY.md: batch 8 no-remat,
@@ -106,6 +139,9 @@ def main(argv=None):
     # epochs stay together (round-5 incident: a resumed attempt wrote its
     # epochs into a fresh timestamp dir, orphaning them from the lineage)
     model = Engine(opts, experiment_name=args.resume or None)
+    with open("/tmp/train_flagship.pid", "w") as f:
+        f.write(str(os.getpid()))
+    _start_stall_watchdog(model)
     print(f"model: {model.num_params:,} params, input {model.input_size}")
     if args.resume:
         model.restore(date=args.resume, epoch=args.resume_epoch)
