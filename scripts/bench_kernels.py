@@ -110,6 +110,17 @@ def main(argv=None):
         (92, 256, 512), (44, 512, 1024), (20, 1024, 2048),
         (18, 2048, 2048),  # second bottleneck conv (hybrid-rule check)
     ]
+    # Alignment-sensitivity arm (VERDICT round-4 task 5): identical kernel,
+    # input H/W padded so the valid-conv OUTPUT spatial size is a multiple
+    # of the 8-sublane register tile (378->384, 186->192, ...). If per-FLOP
+    # throughput doesn't move, odd-size tiling is NOT the Pallas fwd gap
+    # and an aligned-tile rewrite can't close it.
+    if "conv3x3_aligned" in ops:
+        conv_shapes = [
+            (386, 64, 128), (194, 128, 256), (98, 256, 512),
+            (50, 512, 1024), (26, 1024, 2048),
+        ]
+        ops.add("conv3x3")
     for h, cin, cout in conv_shapes:
         if "conv3x3" not in ops:
             break
