@@ -22,16 +22,24 @@ if [ "${POPULATE_AUTO_EXPAND:-1}" = "1" ]; then
   for d in $(ls -d runs/20* 2>/dev/null); do
     L=$(basename "$d")
     # a lineage qualifies once it has reached the selection band
-    # (epoch >= 19); round 5: a tunnel-flap divergence can leave a
-    # lineage topping out below 029 yet still holding good members
-    ls -d "$d"/model-epoch-019.chkpt >/dev/null 2>&1 || continue
-    if ! ls -d "$d"/model-epoch-900.chkpt >/dev/null 2>&1; then
+    # (any epoch >= 15 on disk); round 5: rehydrated anchor lineages
+    # hold only a few surviving epochs (e.g. 21+24), so the gate must
+    # look at the best epoch present, not require one specific file
+    best=$(ls -d "$d"/model-epoch-0*.chkpt 2>/dev/null \
+           | sed 's/.*epoch-0*\([0-9]*\)\.chkpt/\1/' \
+           | awk '$1 < 900' | sort -n | tail -1)
+    [ "${best:--1}" -ge 15 ] || continue
+    # SWA needs >=2 distinct epochs on disk to average anything
+    n_eps=$(ls -d "$d"/model-epoch-0*.chkpt 2>/dev/null | wc -l)
+    if ! ls -d "$d"/model-epoch-900.chkpt >/dev/null 2>&1 \
+       && [ "$n_eps" -ge 2 ]; then
       # read the lineage's own architecture from its geometry sidecar
-      # (round 5 adds a dilated lineage; --dilated 0 was wrong for it)
+      # (round 5 adds a dilated lineage; --dilated 0 was wrong for it);
+      # use the best epoch present, not a hardcoded 029
       DIL=$(python -c "
 import json, sys
 try:
-    g = json.load(open('$d/model-epoch-029.chkpt/geometry.json'))
+    g = json.load(open('$d/model-epoch-$(printf %03d "$best").chkpt/geometry.json'))
     print(1 if g.get('dilated_layers') else 0)
 except Exception:
     print(0)")

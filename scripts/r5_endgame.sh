@@ -72,8 +72,12 @@ for d in runs/20*; do
 done
 
 # --- 3. populate cache --------------------------------------------------
+# Rehydrated anchor lineages hold only a few surviving epochs (even ones
+# included, e.g. 16/24), which the odd-epoch auto-expand would skip —
+# name them explicitly from the rehydrate manifest.
 echo "=== 3. populate ($(date -u +%H:%M:%S))"
-bash scripts/populate_cache_members.sh artifacts/ensemble_r5
+REHYD=$(sort -u artifacts/r5_rehydrated_members.txt 2>/dev/null | tr '\n' ' ')
+bash scripts/populate_cache_members.sh artifacts/ensemble_r5 $REHYD
 echo "populate exit=$? cached=$(ls artifacts/mask_cache/*.npy | wc -l)"
 
 # --- 4. finalize (search -> oracle -> regression gate -> package) ------
