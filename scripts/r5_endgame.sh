@@ -47,12 +47,17 @@ gitc() {  # commit with explicit pathspecs: gitc "msg" path...
 }
 
 # --- 1. seed-51 tail repair -------------------------------------------
+# Bounded hard (2 x 20 min) and skippable via REPAIR_CUTOFF_EPOCH (unix
+# seconds): with tonight's tunnel flapping every ~20 min, a 3x40min
+# worst case here could eat the whole endgame window. The lineage still
+# contributes its rehydrated epochs 21+24 without the repair.
 if [ ! -d "runs/$SEED51_DIR/model-epoch-029.chkpt" ] \
-   && [ -d "runs/$SEED51_DIR/model-epoch-024.chkpt" ]; then
+   && [ -d "runs/$SEED51_DIR/model-epoch-024.chkpt" ] \
+   && [ "$(date +%s)" -lt "${REPAIR_CUTOFF_EPOCH:-9999999999}" ]; then
   echo "=== 1. tail repair $SEED51_DIR ($(date -u +%H:%M:%S))"
-  for att in 1 2 3; do
+  for att in 1 2; do
     until probe; do echo "tunnel down; sleep 120"; sleep 120; done
-    timeout 2400 python scripts/train_flagship.py \
+    timeout 1200 python scripts/train_flagship.py \
       --epochs 30 --batch 8 --lr 0.08 --val 0 --no-remat --dilated 0 \
       --seed 51 --save_from 25 --async_saves 1 \
       --resume "$SEED51_DIR" --start_epoch 25 \
@@ -60,6 +65,7 @@ if [ ! -d "runs/$SEED51_DIR/model-epoch-029.chkpt" ] \
     rc=$?
     echo "repair attempt $att exit=$rc"
     [ -d "runs/$SEED51_DIR/model-epoch-029.chkpt" ] && break
+    [ "$(date +%s)" -ge "${REPAIR_CUTOFF_EPOCH:-9999999999}" ] && break
     sleep 30
   done
 fi
