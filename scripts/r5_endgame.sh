@@ -53,7 +53,7 @@ gitc() {  # commit with explicit pathspecs: gitc "msg" path...
 # contributes its rehydrated epochs 21+24 without the repair.
 if [ ! -d "runs/$SEED51_DIR/model-epoch-029.chkpt" ] \
    && [ -d "runs/$SEED51_DIR/model-epoch-024.chkpt" ] \
-   && [ "$(date +%s)" -lt "${REPAIR_CUTOFF_EPOCH:-1787285700}" ]; then
+   && [ "$(date +%s)" -lt "${REPAIR_CUTOFF_EPOCH:-1787284200}" ]; then
   echo "=== 1. tail repair $SEED51_DIR ($(date -u +%H:%M:%S))"
   for att in 1 2; do
     until probe; do echo "tunnel down; sleep 120"; sleep 120; done
@@ -65,7 +65,7 @@ if [ ! -d "runs/$SEED51_DIR/model-epoch-029.chkpt" ] \
     rc=$?
     echo "repair attempt $att exit=$rc"
     [ -d "runs/$SEED51_DIR/model-epoch-029.chkpt" ] && break
-    [ "$(date +%s)" -ge "${REPAIR_CUTOFF_EPOCH:-1787285700}" ] && break
+    [ "$(date +%s)" -ge "${REPAIR_CUTOFF_EPOCH:-1787284200}" ] && break
     sleep 30
   done
 fi
