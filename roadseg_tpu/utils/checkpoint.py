@@ -231,8 +231,20 @@ def export_npz(state: Any, path: str, geometry: Optional[dict] = None,
     if geometry is not None:
         flat["__geometry__"] = np.array(
             json.dumps({k: geometry[k] for k in GEOMETRY_KEYS}))
-    with open(path, "wb") as f:
-        np.savez(f, **flat)
+    # Atomic publish (ADVICE round 5): a VM reset mid-write must never
+    # leave a non-empty partial npz at the final path — anchor scripts
+    # gate on `[ -s file ]`, so a torn file would be git-committed as the
+    # "durable" copy of weights that no longer exist anywhere else.
+    # Write to a same-directory temp file and os.replace() into place
+    # (atomic on POSIX); the temp is cleaned up on any failure.
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return path
 
 

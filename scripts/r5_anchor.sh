@@ -18,6 +18,18 @@ for L in "$@"; do
   fi
   out="artifacts/anchors/$L-epoch-029.chkpt.npz"
   mkdir -p artifacts/anchors
+  # Per-lineage lock (ADVICE round 5): the anchor watcher polls every
+  # 120 s while the endgame's anchor stage can invoke this script on the
+  # same lineage concurrently; without exclusion both could export the
+  # same anchor at once. export_npz itself now publishes atomically
+  # (temp + os.replace), the lock just prevents duplicate work and
+  # interleaved git index updates.
+  exec 9> "/tmp/anchor_$L.lock"
+  if ! flock -w 600 9; then
+    echo "ANCHOR FAIL: lock on $L held too long" >&2
+    rc=1
+    continue
+  fi
   if [ ! -s "$out" ]; then
     if ! timeout 900 python scripts/export_npz.py \
         --ckpt "runs/$L/model-epoch-029.chkpt" \
@@ -26,6 +38,19 @@ for L in "$@"; do
       rc=1
       continue
     fi
+  fi
+  # Validate before committing: a truncated/corrupt npz must not become
+  # the "durable" anchor. __geometry__ is written last by export_npz, so
+  # its presence plus a clean np.load proves a complete archive.
+  if ! python -c "
+import numpy as np, sys
+with np.load(sys.argv[1]) as z:
+    assert '__geometry__' in z.files, 'no __geometry__ (partial export?)'
+    assert any(k.startswith('params/') for k in z.files), 'no params'
+" "$out"; then
+    echo "ANCHOR FAIL: $out failed validation; not committing" >&2
+    rc=1
+    continue
   fi
   git add -f -- "$out"
   if git commit -q -m "Anchor lineage $L: git-committed int8 npz of epoch 29" \

@@ -22,13 +22,20 @@ for npz in artifacts/anchors/*.chkpt.npz artifacts/release/*.chkpt.npz \
   base=$(basename "$npz")
   date=${base%-epoch-*}
   ep=$(echo "$base" | sed 's/.*-epoch-0*\([0-9]*\)\.chkpt\.npz/\1/')
-  echo "$date:$ep" >> "$OUT.tmp"
+  # Manifest only lists members that actually exist on disk (ADVICE
+  # round 5): append AFTER the hydrate succeeds (or was already done) so
+  # a failed/timed-out rematerialize can't silently shrink the ensemble
+  # downstream (ensemble_runs skips missing members with just a log line).
   if [ -d "runs/$date/model-epoch-$(printf %03d "$ep").chkpt" ]; then
     echo "already hydrated: $date:$ep"
+    echo "$date:$ep" >> "$OUT.tmp"
     continue
   fi
-  timeout 600 python scripts/rematerialize_npz.py "$npz" \
-    || echo "REHYDRATE FAILED: $npz"
+  if timeout 600 python scripts/rematerialize_npz.py "$npz"; then
+    echo "$date:$ep" >> "$OUT.tmp"
+  else
+    echo "REHYDRATE FAILED: $npz"
+  fi
 done
 sort -u "$OUT.tmp" > "$OUT" && rm -f "$OUT.tmp"
 echo "rehydrated members: $(tr '\n' ' ' < "$OUT")"
