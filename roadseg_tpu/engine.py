@@ -71,6 +71,20 @@ def _experiment_name() -> str:
 _INTERRUPT_EPOCH = 999
 
 
+class TrainingDivergedError(RuntimeError):
+    """Raised on non-finite loss or params so a poisoned state can never
+    be checkpointed.
+
+    Round-5 incident (seed-51 lineage): a resume right after a tunnel
+    flap produced NaN loss from the first step, and the collapsed epoch
+    was *saved* before the epoch-level f1==0 guard could fire — the junk
+    checkpoint then shadowed the last good one for newest-epoch resume.
+    The per-step loss check in ``Engine._drain_one`` aborts within a few
+    steps of divergence (losses are drained lazily, ≤8 steps behind
+    dispatch), and ``Engine.save`` independently refuses to persist
+    non-finite params as the last line of defense."""
+
+
 @contextlib.contextmanager
 def _graceful_interrupt():
     """Catch SIGTERM/SIGINT during the hot loop; yields a ``flag()``.
@@ -436,6 +450,11 @@ class Engine:
     def _drain_one(self, num_errors, total):
         step, metrics, bsz = self._pending.popleft()
         loss = float(jax.device_get(metrics["loss"]))
+        if not np.isfinite(loss):
+            raise TrainingDivergedError(
+                f"non-finite loss {loss} at step {step}; aborting before "
+                f"any checkpoint is written (resume from the last good "
+                f"epoch)")
         num_errors += float(jax.device_get(metrics["errors"]))
         total += bsz
         lr = float(self._schedule(max(step - 1, 0)))
@@ -647,6 +666,22 @@ class Engine:
         joins the previous one first; call :meth:`finish_saves` before
         exiting to surface worker errors."""
         self.finish_saves()
+        # Hard backstop against persisting a diverged state (round-5
+        # seed-51 postmortem: a NaN-collapsed epoch was saved and then
+        # shadowed the last good checkpoint for newest-epoch resume).
+        # One fused on-device reduce; only the final scalar crosses the
+        # tunnel, so the cost is negligible next to the 124 MB+ fetch
+        # the save itself performs.
+        float_leaves = [l for l in jax.tree_util.tree_leaves(
+                            self.state["params"])
+                        if jnp.issubdtype(jnp.asarray(l).dtype,
+                                          jnp.floating)]
+        all_finite = functools.reduce(
+            jnp.logical_and, [jnp.isfinite(l).all() for l in float_leaves])
+        if not bool(jax.device_get(all_finite)):
+            raise TrainingDivergedError(
+                f"non-finite params at epoch {epoch}; refusing to write "
+                f"a checkpoint (resume from the last good epoch)")
         state = (self.state if not light
                  else {k: self.state[k] for k in ("step", "params")})
         if blocking:

@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from roadseg_tpu.config import Options
-from roadseg_tpu.engine import Engine
+from roadseg_tpu.engine import Engine, TrainingDivergedError
 from roadseg_tpu.utils import images_io
 from roadseg_tpu.utils.summary import patch_scores
 
@@ -164,7 +164,15 @@ def main(argv=None):
         print(f"==== Train epoch: {epoch} ====")
         model.reset_scores()
         t0 = time.time()
-        if model.train(tr_imgs, tr_gt):
+        try:
+            interrupted = model.train(tr_imgs, tr_gt)
+        except TrainingDivergedError as e:
+            # Non-finite loss mid-epoch: exit 7 BEFORE any save, same
+            # retry-queue semantics as the epoch-level f1==0 guard below
+            # (seed-51 postmortem).
+            print(f"DIVERGED mid-epoch {epoch}: {e}", file=sys.stderr)
+            return 7
+        if interrupted:
             print("training interrupted; stopping (resume with --resume "
                   f"{model.experiment_name})")
             return 1

@@ -404,3 +404,31 @@ def test_async_save_error_surfaces_on_join(tmp_path):
         eng.finish_saves()
     # the error is consumed; the engine is usable again
     eng.finish_saves()
+
+
+def test_save_refuses_nonfinite_params(tmp_path):
+    """NaN params must never reach disk (round-5 seed-51 incident: a
+    collapsed epoch was saved and shadowed the last good checkpoint)."""
+    from roadseg_tpu.engine import TrainingDivergedError
+    opts = tiny_opts(tmp_path)
+    eng = Engine(opts)
+    eng.state["params"] = jax.tree.map(
+        lambda a: (a * np.nan).astype(a.dtype), eng.state["params"])
+    with pytest.raises(TrainingDivergedError, match="non-finite params"):
+        eng.save(0)
+    run_dir = eng._checkpointer.experiment_dir
+    import os
+    assert not [d for d in (os.listdir(run_dir)
+                            if os.path.isdir(run_dir) else [])
+                if d.endswith(".chkpt")], "a poisoned checkpoint was written"
+
+
+def test_drain_aborts_on_nonfinite_loss(tmp_path):
+    """The per-step loss drain raises within the epoch, before any
+    epoch-end save can run."""
+    from roadseg_tpu.engine import TrainingDivergedError
+    eng = Engine(tiny_opts(tmp_path))
+    eng._pending.append(
+        (5, {"loss": np.float32("nan"), "errors": np.float32(0)}, 8))
+    with pytest.raises(TrainingDivergedError, match="non-finite loss"):
+        eng._drain_one(0.0, 0)
