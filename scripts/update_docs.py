@@ -87,6 +87,20 @@ def main(argv=None):
     args = p.parse_args(argv)
     os.chdir(ROOT)
 
+    # Provenance: record exactly which artifact files produced the
+    # generated blocks, so tests/test_release_integrity.py can REPLAY
+    # this invocation and fail when the committed README/PARITY blocks
+    # drift from the committed artifacts (VERDICT round 5, task 3 — the
+    # third round in a row with a stale results row; drift is now
+    # mechanically detected instead of being a discipline problem).
+    provenance = {k: os.path.abspath(v) for k, v in (
+        ("release", args.release),
+        ("release_dilated", args.release_dilated),
+        ("pure_verify", args.pure_verify),
+        ("fused_verify", args.fused_verify),
+        ("dilated_verify", args.dilated_verify),
+        ("bench", args.bench)) if v and os.path.exists(v)}
+
     rel = _read_json(args.release)
     if rel is None:
         raise SystemExit(f"no release at {args.release}")
@@ -162,6 +176,9 @@ def main(argv=None):
     ship.append(f"- Notes: {rel.get('notes', '')}")
     _replace_block("PARITY.md", "<!-- SHIPPED:BEGIN -->",
                    "<!-- SHIPPED:END -->", "\n".join(ship))
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/docs_provenance.json", "w") as f:
+        json.dump(provenance, f, indent=1)
     print(f"docs updated: pure={pure_score} "
           f"fused={fused and fused['agreement']} "
           f"dilated={dil and dil['agreement']} "
