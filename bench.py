@@ -177,6 +177,7 @@ def main():
         "restored": restored_name,
         "restored_sha256": restored_sha,
         "mode": "full_image" if full_image else "sliding_window",
+        "conv_impl": opts.conv_impl,
         "config": ("dilated" if geometry["dilated_layers"]
                    else "release (non-dilated winner)"),
     }))
