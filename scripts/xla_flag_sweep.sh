@@ -45,10 +45,14 @@ for i in "${!NAMES[@]}"; do
     continue
   fi
   echo "=== $name: '$flags' $(date -u +%H:%M:%S)"
-  row=$(timeout 900 env XLA_FLAGS="$flags" LIBTPU_INIT_ARGS="$flags" \
+  # LIBTPU_INIT_ARGS only: the tunneled build's CLIENT-side XLA parser
+  # hard-aborts (F parse_flags_from_env) on TPU-compiler flags in
+  # XLA_FLAGS, before the backend ever sees them — compilation happens
+  # terminal-side, so the libtpu init path is the only viable carrier.
+  row=$(timeout 900 env LIBTPU_INIT_ARGS="$flags" \
     python scripts/bench_train.py --dilated 0 --batch "$BATCH" \
       --steps "$STEPS" --variants noremat 2>"artifacts/xla_sweep_$name.log" \
-    | tail -1)
+    | tail -1; exit "${PIPESTATUS[0]}")
   rc=$?
   if [ $rc -ne 0 ] || [ -z "$row" ]; then
     echo "{\"flag_variant\": \"$name\", \"flags\": \"$flags\", \"error\": \"exit $rc\"}" >> "$OUT"
